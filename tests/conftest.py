@@ -1,0 +1,37 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Mirrors the multi-host simulation strategy described in SURVEY.md section 4
+(the reference has randomized end-to-end ctest sweeps only; we add unit and
+sharding tests the reference lacks).
+
+Note: this image's sitecustomize registers a TPU backend and programmatically
+forces the platform, so setting JAX_PLATFORMS in the environment is not
+enough -- we must update jax.config after import.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import random
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return random.Random(0xC0FFEE)
+
+
+@pytest.fixture
+def nprng():
+    return np.random.default_rng(0xC0FFEE)
