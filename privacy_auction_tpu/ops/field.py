@@ -290,6 +290,25 @@ def mul_small(spec: FieldSpec, a, c: int):
     return reduce_wide(spec, digits)
 
 
+def mul_small_vec(spec: FieldSpec, a, consts):
+    """Per-lane small-constant mul: a (K, ..., 16) times consts (K,) ints.
+
+    Lets callers fuse several different small-constant muls (e.g. the b3 and
+    3 multiplications inside the complete EC formulas) into one kernel.
+    """
+    c = np.asarray(consts, dtype=np.uint32).reshape(
+        (len(consts),) + (1,) * (a.ndim - 1)
+    )
+    assert int(c.max()) < (1 << RADIX_BITS)
+    p = a * jnp.asarray(c)
+    lo = p & MASK
+    hi = p >> RADIX_BITS
+    cols = _pad_to(lo, LIMBS + 1)
+    cols = cols.at[..., 1 : LIMBS + 1].add(hi)
+    digits, _ = _propagate(cols)
+    return reduce_wide(spec, digits)
+
+
 def pow_const(spec: FieldSpec, a, exp_bits: np.ndarray):
     """a ** e mod m for a fixed 256-bit exponent given as MSB-first bit array."""
     bits = jnp.asarray(exp_bits)

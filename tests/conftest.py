@@ -20,6 +20,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: XLA compiles of the unrolled bignum kernels
+# are expensive; cache them across test runs.
+jax.config.update("jax_compilation_cache_dir", "/tmp/pa_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 
