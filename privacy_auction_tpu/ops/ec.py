@@ -185,15 +185,7 @@ def scalar_mul(curve: Curve, P, k):
     EC_POINT_mul(group, r, NULL, P, k) (`/root/reference/SEAL/bidder.cpp:129`).
     """
     batch = P.shape[:-2]
-
-    def tab_step(prev, _):
-        nxt = add(curve, prev, P)
-        return nxt, nxt
-
-    _, rest = jax.lax.scan(tab_step, P, None, length=COMB_SIZE - 2)
-    table = jnp.concatenate(
-        [infinity((1,) + batch), P[None], rest], axis=0
-    )  # (16, ..., 3, L)
+    table = _build_table(curve, P)  # (16, ..., 3, L)
     digits = _window_digits(k)
 
     def body(i, acc):
@@ -220,7 +212,66 @@ def _select_entry(table, digit):
     return out
 
 
-def mul_base(curve: Curve, k):
+def _build_table(curve: Curve, P):
+    """Per-lane 16-entry window table [inf, P, 2P, ..., 15P]."""
+    batch = P.shape[:-2]
+
+    def tab_step(prev, _):
+        nxt = add(curve, prev, P)
+        return nxt, nxt
+
+    _, rest = jax.lax.scan(tab_step, P, None, length=COMB_SIZE - 2)
+    return jnp.concatenate([infinity((1,) + batch), P[None], rest], axis=0)
+
+
+def dual_mul(curve: Curve, P, kp, Q, kq):
+    """Shamir/Straus joint scalar mult s*P + t*Q, batched.
+
+    One shared doubling chain (4 doublings per window) with two table adds
+    per window: ~40% fewer point ops than two independent scalar_mul calls.
+    This is the workhorse of NIZK verification, where every check is of the
+    form eps == base1^rho * base2^ch
+    (`/root/reference/SEAL/bidder.cpp:255-296,487-568,937-1098`).
+    """
+    batch = P.shape[:-2]
+    tp = _build_table(curve, P)
+    tq = _build_table(curve, Q)
+    dp = _window_digits(kp)
+    dq = _window_digits(kq)
+
+    def body(i, acc):
+        w = (COMB_WINDOWS - 1) - i
+        acc = jax.lax.fori_loop(0, COMB_WINDOW, lambda _, a: dbl(curve, a), acc)
+        ep = _select_entry(tp, jax.lax.dynamic_index_in_dim(dp, w, 0, False))
+        eq_ = _select_entry(tq, jax.lax.dynamic_index_in_dim(dq, w, 0, False))
+        return add(curve, add(curve, acc, ep), eq_)
+
+    return jax.lax.fori_loop(0, COMB_WINDOWS, body, infinity(batch))
+
+
+def base_mul_add(curve: Curve, s, P, t):
+    """g^s * P^t, batched: one shared doubling chain for both scalars.
+
+    The generator side uses the constant window-0 table [0..15]*G (shared
+    across all lanes, no per-lane build); the MSB-first doubling chain
+    supplies the 2**(4w) window factors for both scalars.  Equivalent of
+    EC_POINT_mul(group, r, s, P, t, ctx) / the g^rho * X^ch verification
+    pattern (`/root/reference/SEAL/bidder.cpp:128-130,255-296`).
+    """
+    batch = t.shape[:-1]
+    tq = _build_table(curve, P)
+    dq = _window_digits(t)
+    ds = _window_digits(s)
+    tg = jnp.asarray(curve.comb_table[0])  # (16, 3, L) constant [d]*G
+
+    def body(i, acc):
+        w = (COMB_WINDOWS - 1) - i
+        acc = jax.lax.fori_loop(0, COMB_WINDOW, lambda _, a: dbl(curve, a), acc)
+        eg = _select_entry(tg, jax.lax.dynamic_index_in_dim(ds, w, 0, False))
+        ep = _select_entry(tq, jax.lax.dynamic_index_in_dim(dq, w, 0, False))
+        return add(curve, add(curve, acc, eg), ep)
+
+    return jax.lax.fori_loop(0, COMB_WINDOWS, body, infinity(batch))
     """Fixed-base scalar mult k*G via the precomputed comb table.
 
     64 complete adds, no doublings.  Equivalent of

@@ -92,6 +92,29 @@ def test_mul_base(rng):
     check_points(jmul_base(CURVE, K), [HOST.mul(m, HOST.g) for m in ms])
 
 
+def test_dual_mul_and_base_mul_add(rng):
+    ks, ps = host_points(rng, 3)
+    _, qs = host_points(rng, 3)
+    P = jnp.asarray(EC.encode_host_points(ps))
+    Q = jnp.asarray(EC.encode_host_points(qs))
+    ms = [rng.randrange(HOST.n) for _ in range(3)]
+    ts = [rng.randrange(HOST.n) for _ in range(2)] + [0]
+    M = jnp.asarray(F.ints_to_limbs(ms))
+    T = jnp.asarray(F.ints_to_limbs(ts))
+    want = [
+        HOST.add(HOST.mul(m, p), HOST.mul(t, q))
+        for m, p, t, q in zip(ms, ps, ts, qs)
+    ]
+    got = jax.jit(EC.dual_mul, static_argnums=0)(CURVE, P, M, Q, T)
+    check_points(got, want)
+    want2 = [
+        HOST.add(HOST.mul(m, HOST.g), HOST.mul(t, q))
+        for m, t, q in zip(ms, ts, qs)
+    ]
+    got2 = jax.jit(EC.base_mul_add, static_argnums=0)(CURVE, M, Q, T)
+    check_points(got2, want2)
+
+
 def test_ec_sum_and_scan(rng):
     for count in (1, 2, 5, 8):
         _, ps = host_points(rng, count)
