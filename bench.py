@@ -1,0 +1,90 @@
+"""Headline benchmark: batched EC scalar-mult throughput per chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+North-star metric (BASELINE.json): EC scalar-mults/s/chip.  The reference
+baseline is OpenSSL secp256k1 arbitrary-base EC_POINT_mul on one Xeon core:
+2,641 ops/s (BASELINE.md).  `vs_baseline` is the speedup factor.
+
+Secondary numbers (auction wall-clocks at the BASELINE.json configs) are
+printed to stderr when --full is given.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_SCALAR_MUL_OPS = 2641.0  # OpenSSL, 1 Xeon core (BASELINE.md)
+
+
+def bench_scalar_mul(batch: int, iters: int = 8) -> float:
+    from privacy_auction_tpu.curves import SECP256K1 as CURVE
+    from privacy_auction_tpu.ops import ec, field as F
+
+    key = jax.random.key(0)
+    k1, k2 = jax.random.split(key)
+    k = F.random(CURVE.fn, k1, (batch,))
+    base_scalars = F.random(CURVE.fn, k2, (batch,))
+    P = ec.mul_base(CURVE, base_scalars)
+    P = jax.block_until_ready(P)
+
+    fn = jax.jit(lambda p, s: ec.scalar_mul(CURVE, p, s))
+    out = jax.block_until_ready(fn(P, k))  # compile
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(out, k)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def bench_auctions():
+    from privacy_auction_tpu.curves import SECP256K1 as CURVE
+    from privacy_auction_tpu.protocols import ccs22, seal
+
+    rng = np.random.default_rng(0)
+    out = {}
+    for n, c in ((4, 8),):
+        bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+        seal.run_auction(CURVE, jax.random.key(1), bids, c, verify=True)
+        t0 = time.perf_counter()
+        res = seal.run_auction(CURVE, jax.random.key(2), bids, c, verify=True)
+        out[f"seal_{n}x{c}_wall_s"] = time.perf_counter() - t0
+        assert res.max_bid == max(bids) and res.verified
+    for n, c in ((8, 16),):
+        bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+        ccs22.run_auction(CURVE, jax.random.key(3), bids, c)
+        t0 = time.perf_counter()
+        res = ccs22.run_auction(CURVE, jax.random.key(4), bids, c)
+        out[f"ccs22_{n}x{c}_wall_s"] = time.perf_counter() - t0
+        assert res.max_bid == max(bids)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--full", action="store_true",
+                    help="also run auction wall-clock benches (stderr)")
+    args = ap.parse_args()
+
+    ops = bench_scalar_mul(args.batch, args.iters)
+    if args.full:
+        for k, v in bench_auctions().items():
+            print(f"{k}: {v:.3f}", file=sys.stderr)
+    print(json.dumps({
+        "metric": "ec_scalar_mults_per_s_per_chip",
+        "value": round(ops, 1),
+        "unit": "ops/s",
+        "vs_baseline": round(ops / BASELINE_SCALAR_MUL_OPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

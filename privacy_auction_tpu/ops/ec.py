@@ -272,6 +272,9 @@ def base_mul_add(curve: Curve, s, P, t):
         return add(curve, add(curve, acc, eg), ep)
 
     return jax.lax.fori_loop(0, COMB_WINDOWS, body, infinity(batch))
+
+
+def mul_base(curve: Curve, k):
     """Fixed-base scalar mult k*G via the precomputed comb table.
 
     64 complete adds, no doublings.  Equivalent of

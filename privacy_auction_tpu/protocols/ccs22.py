@@ -1,0 +1,346 @@
+"""CCS22 protocol: secure auction with a rational evaluator.
+
+TPU-native redesign of the reference's `CCS22/` stack
+(`/root/reference/CCS22/bidder.cpp`, `CCS22/evaluator.cpp`,
+`CCS22/main.cpp`): one party is a randomly chosen *evaluator*; each bit
+step runs an anonymous-veto round whose result is revealed only to the
+evaluator through a 2-message DDH oblivious transfer, then announced.
+
+Phase structure (mirrors `/root/reference/CCS22/main.cpp:72-130`):
+
+  setup       -> per party: per-step keys x, r + OT randomness s, t;
+                 X = g^x published; H = SHA256(secrets); Pedersen-style
+                 commitment Com = g^bid * g1^H * h^R
+  per step:
+    BESEncode -> AV-net: Y_i from the step's public keys;
+                 B = x*Y (d = 0) | g^r (d = 1), d = inRace & bit
+    OTReceive1-> evaluator, per bidder j: T2 = g^k, G = g^beta * g1^alpha,
+                 H = h^beta * T2^alpha  (choice alpha = evaluator's own d)
+    OTSend    -> bidder j: z = g^s * h^t, C0 = G^s * H^t + B_j,
+                 C1 = (G/T1)^s * (H/T2)^t + random
+    OTReceive2-> evaluator: if own d == 1 announce 1; else recover
+                 M0_j = C0_j - beta*z_j, sum + own B, announce != infinity
+    race      -> on announced 1: drop out iff own d == 0; set max-bid bit
+
+Everything is batched over the party axis; the evaluator occupies one lane
+of the same arrays (its OT lane is masked).  The evaluator's d == 1
+shortcut (`CCS22/evaluator.cpp:121-125`) is computed branchlessly -- the
+decrypt path always runs, so the evaluator's bit never leaks through
+timing (the reference branches in plain C++).
+
+Like the reference (`CCS22/main.cpp:132-134`), the verification phase is
+not part of the protocol run; the commitments bind the parties for a
+later audit.  The reference's insecure CRS shortcut (g1, h from random
+scalars instead of hash-to-curve, `CCS22/bulletinBoard.cpp:30-33,42-45`)
+is reproduced structurally but the scalars are drawn from the PRNG key and
+immediately discarded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import Curve, make_comb_table
+from ..ops import ec
+from ..ops import field as F
+from ..ops.sha256 import digest_to_scalar, sha256
+
+LIMBS = F.LIMBS
+
+
+# --------------------------------------------------------------------------
+# public parameters (CRS)
+# --------------------------------------------------------------------------
+
+class PubParams(NamedTuple):
+    """CRS: two extra generators (`CCS22/types.h:7-13`).
+
+    g1/h carried as projective device points plus host comb tables for
+    fast fixed-base multiplication.
+    """
+
+    g1: jnp.ndarray        # (3, L)
+    h: jnp.ndarray         # (3, L)
+    g1_table: np.ndarray   # (64, 16, 3, L) host comb table
+    h_table: np.ndarray
+
+
+def make_pub_params(curve: Curve, seed: int = 0) -> PubParams:
+    """Generate the CRS (`CCS22/bulletinBoard.cpp:11-61`).
+
+    Host-side: the trapdoor scalars are derived from the seed and not
+    retained (the reference keeps them alive in the BulletinBoard).
+    """
+    rng = np.random.default_rng(seed)
+    host = curve.host
+    e1 = int(rng.integers(1, 1 << 62)) | (int(rng.integers(0, 1 << 62)) << 62)
+    e2 = int(rng.integers(1, 1 << 62)) | (int(rng.integers(0, 1 << 62)) << 62)
+    g1_h = host.mul(e1 % host.n, host.g)
+    h_h = host.mul(e2 % host.n, host.g)
+    enc = ec.encode_host_points([g1_h, h_h])
+    return PubParams(
+        g1=jnp.asarray(enc[0]),
+        h=jnp.asarray(enc[1]),
+        g1_table=make_comb_table(host, g1_h),
+        h_table=make_comb_table(host, h_h),
+    )
+
+
+# --------------------------------------------------------------------------
+# setup
+# --------------------------------------------------------------------------
+
+class SetupSec(NamedTuple):
+    x: jnp.ndarray   # (n, c, L) per-step AV-net keys
+    r: jnp.ndarray   # (n, c, L) per-step veto randomness
+    s: jnp.ndarray   # (n, c, L) OT sender randomness
+    t: jnp.ndarray   # (n, c, L)
+    rcom: jnp.ndarray  # (n, L) commitment blinding
+
+
+class SetupPub(NamedTuple):
+    X: jnp.ndarray    # (n, c, 3, L) per-step public keys
+    com: jnp.ndarray  # (n, 3, L) commitments
+
+
+def _scalar_bytes(v):
+    """Scalars (..., L) -> big-endian 32-byte strings (..., 32)."""
+    return F.to_bytes_be(v)
+
+
+def setup(curve: Curve, key, pp: PubParams, bids, c: int,
+          eval_id: int, eval_betas=None):
+    """Setup for all n parties (`CCS22/bidder.cpp:48-100`,
+    `CCS22/evaluator.cpp:22-63`).
+
+    bids: (n,) integer bid scalars as limb array (n, L); eval_betas:
+    (n, c, L) the evaluator's OT betas (hashed into its H).
+    Returns (SetupPub, SetupSec).
+    """
+    fn = curve.fn
+    n = bids.shape[0]
+    k_sec, k_rcom = jax.random.split(key)
+    sec4 = F.random(fn, k_sec, (4, n, c))
+    x, r, s, t = sec4[0], sec4[1], sec4[2], sec4[3]
+    rcom = F.random(fn, k_rcom, (n,))
+
+    X = ec.mul_base(curve, x)  # (n, c, 3, L)
+
+    # H_i = SHA256(x_i || r_i || s_i || t_i), 32B BE each scalar
+    # (`CCS22/bidder.cpp:81`, canonicalized serialization).
+    msg = jnp.concatenate(
+        [_scalar_bytes(v).reshape(n, c * 32) for v in (x, r, s, t)], axis=-1
+    )
+    H = digest_to_scalar(fn, sha256(msg))  # (n, L)
+    if eval_betas is not None:
+        # evaluator lane additionally hashes its (n, c) OT betas
+        # (`CCS22/evaluator.cpp:46-51`); its own lane's betas are unused
+        # but hashed for a static shape.
+        emsg = jnp.concatenate(
+            [msg[eval_id], _scalar_bytes(eval_betas).reshape(n * c * 32)]
+        )
+        He = digest_to_scalar(fn, sha256(emsg))
+        H = H.at[eval_id].set(He)
+
+    # Com = g^bid * g1^H * h^rcom (`CCS22/bidder.cpp:84-88`)
+    g1t = jnp.asarray(pp.g1_table)
+    ht = jnp.asarray(pp.h_table)
+    com = ec.add(
+        curve,
+        ec.mul_base(curve, bids),
+        ec.add(
+            curve, ec.mul_comb(curve, g1t, H), ec.mul_comb(curve, ht, rcom)
+        ),
+    )
+    return SetupPub(X=X, com=com), SetupSec(x=x, r=r, s=s, t=t, rcom=rcom)
+
+
+# --------------------------------------------------------------------------
+# BES encode
+# --------------------------------------------------------------------------
+
+def bes_encode(curve: Curve, X_step, x_step, r_step, d):
+    """AV-net bit encoding for all parties (`CCS22/bidder.cpp:118-153`).
+
+    X_step: (n, 3, L) step public keys; d: (n,) effective bits.
+    B = x*Y if d == 0 else g^r.
+    """
+    from .seal import avnet_keys
+
+    Y = avnet_keys(curve, X_step)
+    enc0 = ec.scalar_mul(curve, Y, x_step)
+    enc1 = ec.mul_base(curve, r_step)
+    return ec.select(d == 0, enc0, enc1)
+
+
+# --------------------------------------------------------------------------
+# oblivious transfer (2-message DDH OT, per bidder per step)
+# --------------------------------------------------------------------------
+
+class OTR1(NamedTuple):
+    """Receiver message (`CCS22/types.h:15-21`): per bidder lane."""
+
+    T2: jnp.ndarray  # (n, 3, L) g^k
+    G: jnp.ndarray   # (n, 3, L) g^beta * g1^alpha
+    H: jnp.ndarray   # (n, 3, L) h^beta * T2^alpha
+
+
+class OTS(NamedTuple):
+    """Sender message (`CCS22/types.h:23-30`)."""
+
+    z: jnp.ndarray   # (n, 3, L)
+    C0: jnp.ndarray  # (n, 3, L)
+    C1: jnp.ndarray  # (n, 3, L)
+
+
+def ot_receive1(curve: Curve, key, pp: PubParams, beta, alpha):
+    """Evaluator's first OT message for all bidder lanes
+    (`CCS22/evaluator.cpp:78-115`).
+
+    beta: (n, L) per-lane receiver randomness; alpha: () uint32 -- the
+    evaluator's own effective bit, its OT choice.  T1 is fixed to g1
+    (reference simplification, `CCS22/evaluator.cpp:79-80`).  The alpha
+    blinding is branchless: X^alpha = select(alpha, X, infinity) added in.
+    """
+    n = beta.shape[0]
+    k = F.random(curve.fn, key, (n,))
+    T2 = ec.mul_base(curve, k)
+    gb = ec.mul_base(curve, beta)
+    hb = ec.mul_comb(curve, jnp.asarray(pp.h_table), beta)
+    a = jnp.broadcast_to(alpha != 0, (n,))
+    inf = ec.infinity((n,))
+    g1n = jnp.broadcast_to(pp.g1, (n, 3, LIMBS))
+    G = ec.add(curve, gb, ec.select(a, g1n, inf))
+    Hh = ec.add(curve, hb, ec.select(a, T2, inf))
+    return OTR1(T2=T2, G=G, H=Hh)
+
+
+def ot_send(curve: Curve, key, pp: PubParams, r1: OTR1, B, s, t):
+    """Bidders' OT reply, all lanes at once (`CCS22/bidder.cpp:155-198`).
+
+    B: (n, 3, L) the AV-net ciphertexts (message M0); s, t: (n, L).
+    M1 is a fresh random point (`CCS22/bidder.cpp:183-186`).
+    """
+    m1k = F.random(curve.fn, key, B.shape[:-2])
+    M1 = ec.mul_base(curve, m1k)
+
+    z = ec.add(
+        curve,
+        ec.mul_base(curve, s),
+        ec.mul_comb(curve, jnp.asarray(pp.h_table), t),
+    )
+    mask0 = ec.dual_mul(curve, r1.G, s, r1.H, t)
+    C0 = ec.add(curve, mask0, B)
+    g1n = jnp.broadcast_to(pp.g1, B.shape)
+    Gm = ec.add(curve, r1.G, ec.neg(curve, g1n))
+    Hm = ec.add(curve, r1.H, ec.neg(curve, r1.T2))
+    mask1 = ec.dual_mul(curve, Gm, s, Hm, t)
+    C1 = ec.add(curve, mask1, M1)
+    return OTS(z=z, C0=C0, C1=C1)
+
+
+def ot_receive2(curve: Curve, ots: OTS, beta, own_B, own_d, eval_id: int):
+    """Evaluator recovers the veto sum and announces the step bit
+    (`CCS22/evaluator.cpp:117-156`).
+
+    Branchless equivalent of the reference's early-out: the announced bit
+    is own_d OR (sum != infinity); the decrypt always runs.
+    Returns announced d: () bool.
+    """
+    M0 = ec.add(
+        curve, ots.C0, ec.neg(curve, ec.scalar_mul(curve, ots.z, beta))
+    )
+    # the evaluator's own lane carries no OT message; substitute its own B
+    n = M0.shape[0]
+    is_eval = jnp.arange(n) == eval_id
+    M0 = ec.select(is_eval, own_B, M0)
+    total = ec.ec_sum(curve, M0, axis=0)
+    return (own_d[eval_id] != 0) | ~ec.is_infinity(total)
+
+
+def update_race(in_race, d, announced):
+    """Race bookkeeping (`CCS22/bidder.cpp:200-212`): on an announced 1,
+    a party stays in the race iff its own effective bit was 1."""
+    return jnp.where(announced, in_race & d, in_race)
+
+
+# --------------------------------------------------------------------------
+# host driver
+# --------------------------------------------------------------------------
+
+class AuctionResult(NamedTuple):
+    max_bid: int
+    deciding_bits: np.ndarray
+
+
+def _auction_step(curve: Curve, pp: PubParams, k1, k2, X_step, x_step,
+                  r_step, s_step, t_step, beta_step, bits_step, in_race,
+                  eval_id: int):
+    """One full CCS22 step, jittable: BES encode -> OT -> announce -> race.
+
+    Returns (announced: () bool, new in_race (n,), d (n,)).
+    """
+    d = bits_step & in_race
+    B = bes_encode(curve, X_step, x_step, r_step, d)
+    alpha = d[eval_id]
+    r1 = ot_receive1(curve, k1, pp, beta_step, alpha)
+    ots = ot_send(curve, k2, pp, r1, B, s_step, t_step)
+    announced = ot_receive2(curve, ots, beta_step, B, d, eval_id)
+    return announced, update_race(in_race, d, announced), d
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_step(curve: Curve, eval_id: int):
+    return jax.jit(functools.partial(_auction_step, curve, eval_id=eval_id))
+
+
+def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
+                trackers=None) -> AuctionResult:
+    """Full CCS22 auction (`CCS22/main.cpp:16-199`): host loop over steps.
+
+    bids: list of n ints; the evaluator (lane eval_id) is also a bidder.
+    """
+    from .seal import bids_to_bits
+
+    n = len(bids)
+    bits = jnp.asarray(bids_to_bits(bids, c))
+    bid_scalars = jnp.asarray(F.ints_to_limbs([b % curve.host.n for b in bids]))
+
+    keys = jax.random.split(key, 2 * c + 2)
+    beta = F.random(curve.fn, keys[0], (n, c))  # evaluator OT randomness
+    _pub, sec = _jit_setup(curve, keys[1], pp_or_make(curve), bid_scalars,
+                           c, eval_id, beta)
+    pp = pp_or_make(curve)
+
+    in_race = jnp.ones((n,), jnp.uint32)
+    max_bid = 0
+    deciding = np.zeros(c, np.uint8)
+    step_fn = _jit_step(curve, eval_id)
+
+    for step in range(c):
+        announced, in_race, _d = step_fn(
+            pp, keys[2 * step + 2], keys[2 * step + 3],
+            _pub.X[:, step], sec.x[:, step], sec.r[:, step],
+            sec.s[:, step], sec.t[:, step], beta[:, step],
+            bits[:, step], in_race,
+        )
+        bit = bool(np.asarray(announced))
+        deciding[step] = bit
+        max_bid = (max_bid << 1) | int(bit)
+        if trackers is not None:
+            trackers.account_step(n)
+
+    return AuctionResult(max_bid=max_bid, deciding_bits=deciding)
+
+
+@functools.lru_cache(maxsize=None)
+def pp_or_make(curve: Curve) -> PubParams:
+    return make_pub_params(curve)
+
+
+_jit_setup = jax.jit(setup, static_argnums=(0, 4, 5))

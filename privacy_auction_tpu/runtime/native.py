@@ -1,0 +1,154 @@
+"""ctypes binding for the native C++ runtime (bulletin board + trackers).
+
+Loads native/libpa_runtime.so (built by `make -C native`, or on demand via
+`build_native()`).  The native core owns message storage, byte metering,
+and timers -- the roles the reference implements in C++
+(`/root/reference/SEAL/bulletinBoard.cpp`, `include/dataTracker.h`).
+
+If the shared library is unavailable and cannot be built, `NativeBoard`
+raises; callers that can operate without a board (the analytic trackers in
+utils/trackers.py) should catch and fall back.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import pathlib
+import subprocess
+
+_NATIVE_DIR = pathlib.Path(__file__).resolve().parent.parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libpa_runtime.so"
+
+# protocol phase ids (shared convention with the C side)
+PHASE_COMMIT = 0
+PHASE_ROUND1 = 1
+PHASE_ROUND2 = 2
+PHASE_ROUND3 = 3
+PHASE_OT_R1 = 4
+PHASE_OT_S = 5
+PHASE_ANNOUNCE = 6
+
+_lib = None
+
+
+def build_native() -> bool:
+    """Build the shared library with make; True on success."""
+    try:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR)],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _LIB_PATH.exists() and not build_native():
+        raise OSError(f"native runtime unavailable: {_LIB_PATH}")
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.pa_board_new.restype = ctypes.c_void_p
+    lib.pa_board_new.argtypes = [ctypes.c_int64]
+    lib.pa_board_free.argtypes = [ctypes.c_void_p]
+    lib.pa_board_n_parties.restype = ctypes.c_int64
+    lib.pa_board_n_parties.argtypes = [ctypes.c_void_p]
+    lib.pa_board_post.restype = ctypes.c_int32
+    lib.pa_board_post.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+    ]
+    lib.pa_board_size.restype = ctypes.c_int64
+    lib.pa_board_size.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+    ]
+    lib.pa_board_fetch.restype = ctypes.c_int64
+    lib.pa_board_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+    ]
+    lib.pa_board_account.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+    ]
+    lib.pa_board_bytes.restype = ctypes.c_int64
+    lib.pa_board_bytes.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_board_total_bytes.restype = ctypes.c_int64
+    lib.pa_board_total_bytes.argtypes = [ctypes.c_void_p]
+    lib.pa_timer_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_timer_stop.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_timer_seconds.restype = ctypes.c_double
+    lib.pa_timer_seconds.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_board_reset.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except OSError:
+        return False
+
+
+class NativeBoard:
+    """Bulletin board handle backed by the C++ runtime."""
+
+    def __init__(self, n_parties: int):
+        self._lib = _load()
+        self._ptr = self._lib.pa_board_new(n_parties)
+
+    def __del__(self):
+        ptr = getattr(self, "_ptr", None)
+        if ptr:
+            self._lib.pa_board_free(ptr)
+            self._ptr = None
+
+    @property
+    def n_parties(self) -> int:
+        return self._lib.pa_board_n_parties(self._ptr)
+
+    def post(self, phase: int, round_: int, party: int, payload: bytes,
+             category: str = "bidder"):
+        rc = self._lib.pa_board_post(
+            self._ptr, phase, round_, party, payload, len(payload),
+            category.encode(),
+        )
+        if rc != 0:
+            raise ValueError(f"post failed: {rc}")
+
+    def fetch(self, phase: int, round_: int, party: int,
+              category: str = "bidder") -> bytes | None:
+        size = self._lib.pa_board_size(self._ptr, phase, round_, party)
+        if size < 0:
+            return None
+        buf = ctypes.create_string_buffer(size)
+        got = self._lib.pa_board_fetch(
+            self._ptr, phase, round_, party, buf, size, category.encode()
+        )
+        if got < 0:
+            raise RuntimeError(f"fetch failed: {got}")
+        return buf.raw[:got]
+
+    def account(self, category: str, nbytes: int):
+        self._lib.pa_board_account(self._ptr, category.encode(), nbytes)
+
+    def bytes(self, category: str) -> int:
+        return self._lib.pa_board_bytes(self._ptr, category.encode())
+
+    def total_bytes(self) -> int:
+        return self._lib.pa_board_total_bytes(self._ptr)
+
+    def timer_start(self, category: str):
+        self._lib.pa_timer_start(self._ptr, category.encode())
+
+    def timer_stop(self, category: str):
+        self._lib.pa_timer_stop(self._ptr, category.encode())
+
+    def timer_seconds(self, category: str) -> float:
+        return self._lib.pa_timer_seconds(self._ptr, category.encode())
+
+    def reset(self):
+        self._lib.pa_board_reset(self._ptr)

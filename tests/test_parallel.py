@@ -1,0 +1,58 @@
+"""Sharded-execution tests over the 8-device virtual CPU mesh (conftest).
+
+The reference has no distributed tests (single process, SURVEY.md section
+4); these validate that the bidder-sharded compute path produces the same
+results as single-device execution.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from privacy_auction_tpu.curves import SECP256K1 as CURVE
+from privacy_auction_tpu.ops import ec as EC
+from privacy_auction_tpu.ops import field as F
+from privacy_auction_tpu.parallel import mesh as M
+
+
+def test_mesh_devices():
+    mesh = M.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_ec_ops_match_unsharded(rng):
+    n = 16
+    mesh = M.make_mesh()
+    ks = [rng.randrange(1, CURVE.host.n) for _ in range(n)]
+    scal = jnp.asarray(F.ints_to_limbs(ks))
+    P_pts = EC.mul_base(CURVE, scal)
+
+    want_sum = np.asarray(EC.ec_sum(CURVE, P_pts, 0))
+    want_mul = np.asarray(EC.scalar_mul(CURVE, P_pts, scal))
+
+    Ps = M.shard_bidders(mesh, P_pts)
+    ss = M.shard_bidders(mesh, scal)
+    got_sum = jax.jit(lambda p: EC.ec_sum(CURVE, p, 0))(Ps)
+    got_mul = jax.jit(lambda p, s: EC.scalar_mul(CURVE, p, s))(Ps, ss)
+    np.testing.assert_array_equal(np.asarray(got_sum), want_sum)
+    np.testing.assert_array_equal(np.asarray(got_mul), want_mul)
+
+
+def test_sharded_avnet_keys(rng):
+    from privacy_auction_tpu.protocols.seal import avnet_keys
+
+    n = 8
+    mesh = M.make_mesh()
+    ks = [rng.randrange(1, CURVE.host.n) for _ in range(n)]
+    X = EC.mul_base(CURVE, jnp.asarray(F.ints_to_limbs(ks)))
+    want = np.asarray(avnet_keys(CURVE, X))
+    Xs = M.shard_bidders(mesh, X)
+    got = jax.jit(lambda x: avnet_keys(CURVE, x))(Xs)
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_pad_bidders():
+    assert M.pad_bidders(5, 8) == 8
+    assert M.pad_bidders(8, 8) == 8
+    assert M.pad_bidders(9, 8) == 16
