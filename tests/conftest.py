@@ -17,26 +17,23 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-import hashlib
-import platform
-
 import jax
 
 jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA compiles of the unrolled bignum kernels
-# are expensive; cache them across test runs.  The dir is keyed by a host
-# fingerprint: XLA:CPU AOT artifacts embed target machine features, and
-# loading a cache written on a different host silently degrades into
-# pathologically slow (or SIGILL-prone) execution.
+# are expensive; cache them across test runs.  XLA:CPU AOT artifacts embed
+# target machine features, and loading a cache written on a different host
+# silently degrades into pathologically slow (or SIGILL-prone) execution --
+# and /proc/cpuinfo is NOT discriminating enough to fingerprint a host
+# (identical model/flags lines across VMs whose XLA-detected features
+# differ, e.g. prefer-no-scatter).  Key the cache by boot id instead: it
+# only ever lives for one machine session, which is the reuse that matters.
 try:
-    with open("/proc/cpuinfo") as f:
-        _flags = [l for l in f if l.startswith("flags")][:1]
+    with open("/proc/sys/kernel/random/boot_id") as f:
+        _boot = f.read().strip()
 except OSError:
-    _flags = []
-_host = hashlib.sha256(
-    (platform.machine() + "".join(_flags)).encode()
-).hexdigest()[:16]
-jax.config.update("jax_compilation_cache_dir", f"/tmp/pa_tpu_jax_cache_{_host}")
+    _boot = "noboot"
+jax.config.update("jax_compilation_cache_dir", f"/tmp/pa_tpu_jax_cache_{_boot}")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
