@@ -103,20 +103,48 @@ def make_spec(name: str, modulus: int) -> FieldSpec:
 # limb-vector primitives (width-generic, branchless)
 # --------------------------------------------------------------------------
 
+def _carry_scan(g, p):
+    """Kogge-Stone carry resolution: carry-in per position from
+    generate/propagate bits (uint32 in {0,1}), log-depth.
+
+    carry_in[0] = 0; carry_in[i+1] = g[i] | (p[i] & carry_in[i]).
+    """
+    def combine(l, r):
+        gl, pl = l
+        gr, pr = r
+        return gr | (pr & gl), pr & pl
+
+    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    zero = jnp.zeros(g.shape[:-1] + (1,), U32)
+    return jnp.concatenate([zero, G[..., :-1]], axis=-1), G[..., -1]
+
+
+def _shift_up(c):
+    """Shift limb-carries up one position; returns (shifted, overflow_top)."""
+    zero = jnp.zeros(c.shape[:-1] + (1,), U32)
+    return jnp.concatenate([zero, c[..., :-1]], axis=-1), c[..., -1]
+
+
 def _propagate(cols):
     """Carry-propagate columns (each < 2**31) into 16-bit digits.
 
-    Returns (digits (..., W), carry_out (...,)).  Unrolled at trace time:
-    W sequential steps, each a cheap vectorized op over the batch.
+    Returns (digits (..., W), carry_out (...,)).  Log-depth and fully
+    vectorized: two local carry passes knock every column below 2**16 plus
+    a 0/1 ripple, which a Kogge-Stone associative scan resolves in
+    ceil(log2(W)) steps -- a ~10x smaller XLA graph (and faster on the VPU)
+    than a W-step sequential ripple.
     """
-    W = cols.shape[-1]
-    carry = jnp.zeros(cols.shape[:-1], U32)
-    out = []
-    for i in range(W):
-        t = cols[..., i] + carry
-        out.append(t & MASK)
-        carry = t >> RADIX_BITS
-    return jnp.stack(out, axis=-1), carry
+    d0 = cols & MASK
+    e, top0 = _shift_up(cols >> RADIX_BITS)        # carries < 2**15
+    x = d0 + e                                     # < 2**16 + 2**15
+    d1 = x & MASK
+    f, top1 = _shift_up(x >> RADIX_BITS)           # carries in {0, 1}
+    y = d1 + f                                     # <= 2**16
+    g = y >> RADIX_BITS                            # generate, {0, 1}
+    p = (y == MASK).astype(U32)                    # propagate
+    cin, top2 = _carry_scan(g & jnp.uint32(1), p)
+    digits = (y + cin) & MASK
+    return digits, top0 + top1 + top2
 
 
 def _add_raw(a, b):
@@ -124,21 +152,26 @@ def _add_raw(a, b):
     return _propagate(a + b)
 
 
+def _local_pass(cols):
+    """One cheap local carry pass: columns < 2**31 -> columns < 2**17,
+    width + 1 (top carry appended as a new limb).  No Kogge-Stone scan --
+    use where a subsequent fold only needs loosely-bounded columns.
+    """
+    d0 = cols & MASK
+    e, top = _shift_up(cols >> RADIX_BITS)
+    out = d0 + e  # < 2**16 + 2**15
+    return jnp.concatenate([out, top[..., None]], axis=-1)
+
+
 def _sub_raw(a, b):
     """Subtract b from a (equal width, both normalized 16-bit digits).
 
     Returns (digits, borrow_out in {0,1}).
     """
-    W = a.shape[-1]
-    borrow = jnp.zeros(a.shape[:-1], U32)
-    out = []
-    for i in range(W):
-        t = b[..., i] + borrow
-        ai = a[..., i]
-        nb = (ai < t).astype(U32)
-        out.append((ai - t) & MASK)
-        borrow = nb
-    return jnp.stack(out, axis=-1), borrow
+    g = (a < b).astype(U32)                        # generate borrow
+    p = (a == b).astype(U32)                       # propagate borrow
+    bin_, bout = _carry_scan(g, p)
+    return (a - b - bin_) & MASK, bout
 
 
 @functools.lru_cache(maxsize=None)
@@ -158,14 +191,16 @@ def _scatter_matrix(La: int, Lb: int) -> np.ndarray:
     return S.reshape(4 * La * Lb, W)
 
 
-def _mul_raw(a, b):
-    """Schoolbook product of normalized limb vectors -> (La+Lb) digits.
+def _mul_cols(a, b):
+    """Schoolbook product of normalized limb vectors -> (La+Lb) raw columns.
 
     TPU-first formulation: the 32-bit partial products are computed exactly
     on the VPU (uint32), split into byte planes, and column-accumulated by a
     single matmul against a constant scatter matrix -- the anti-diagonal
     sums ride the MXU instead of a chain of dynamic-update-slices.  Column
-    sums stay < 2**21 (< 2**24), so f32 accumulation is exact.
+    sums stay < 2**21 (< 2**24), so f32 accumulation is exact.  Returns the
+    un-propagated columns (each < 2**21) so callers can fold-reduce before
+    paying for carry propagation.
     """
     La = a.shape[-1]
     Lb = b.shape[-1]
@@ -183,7 +218,12 @@ def _mul_raw(a, b):
         parts, S, (((parts.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    digits, carry = _propagate(cols_f.astype(U32))
+    return cols_f.astype(U32)
+
+
+def _mul_raw(a, b):
+    """Schoolbook product of normalized limb vectors -> (La+Lb) digits."""
+    digits, carry = _propagate(_mul_cols(a, b))
     # carry out of the top limb is impossible: product < 2**(16*(La+Lb))
     del carry
     return digits
@@ -205,6 +245,33 @@ def _cond_sub(v17, m17):
     return jnp.where(keep[..., None], v17, d)
 
 
+def _cond_sub2(spec: FieldSpec, v17):
+    """Reduce a 17-limb value < 3m below m with ONE batched borrow scan:
+    both candidate subtrahends (m, 2m) ride a stacked leading lane."""
+    m17 = np.asarray(spec.m17_limbs, np.uint64)
+    m2 = (m17 + m17)  # 2m as 17 limbs (m < 2**272 / 2, no overflow)
+    carry = 0
+    m2_norm = np.zeros(17, np.uint32)
+    for i in range(17):
+        t = int(m2[i]) + carry
+        m2_norm[i] = t & 0xFFFF
+        carry = t >> 16
+    assert carry == 0
+    sub = jnp.stack(
+        [jnp.asarray(spec.m17_limbs), jnp.asarray(m2_norm)]
+    )  # (2, 17)
+    lanes = jnp.broadcast_to(
+        v17[..., None, :], v17.shape[:-1] + (2, 17)
+    )
+    d, borrow = _sub_raw(lanes, jnp.broadcast_to(sub, lanes.shape))
+    d1, d2 = d[..., 0, :], d[..., 1, :]
+    ge_m = borrow[..., 0] == 0
+    ge_2m = borrow[..., 1] == 0
+    out = jnp.where(ge_m[..., None], d1, v17)
+    out = jnp.where(ge_2m[..., None], d2, out)
+    return out
+
+
 # --------------------------------------------------------------------------
 # modular ops
 # --------------------------------------------------------------------------
@@ -223,20 +290,37 @@ def const(spec_or_int, batch_shape=()):
 
 
 def add(spec: FieldSpec, a, b):
-    """(a + b) mod m, elementwise over leading batch axes."""
-    s, c = _add_raw(a, b)
-    m = jnp.asarray(spec.m_limbs)
-    d, borrow = _sub_raw(s, jnp.broadcast_to(m, s.shape))
-    use_d = (c == 1) | (borrow == 0)
-    return jnp.where(use_d[..., None], d, s)
+    """(a + b) mod m, elementwise over leading batch axes.
+
+    Single-scan formulation: both candidates (a+b and a+b+K, where
+    K = 2**256 - m so adding K and dropping bit 256 subtracts m) ride one
+    batched carry propagation; the second lane's carry-out IS the a+b >= m
+    test.  Columns < 3 * 2**16, well within _propagate's contract.
+    """
+    k_ext = np.zeros(LIMBS, np.uint32)
+    k_ext[: len(spec.k_limbs)] = spec.k_limbs
+    s = a + b
+    lanes = jnp.stack([s, s + jnp.asarray(k_ext)], axis=-2)  # (..., 2, 16)
+    d, c = _propagate(lanes)
+    wrap = c[..., 1] == 1
+    return jnp.where(wrap[..., None], d[..., 1, :], d[..., 0, :])
 
 
 def sub(spec: FieldSpec, a, b):
-    """(a - b) mod m."""
-    d, borrow = _sub_raw(a, b)
+    """(a - b) mod m.
+
+    Single-scan formulation: a - b = a + ~b + 1 - 2**256; lane 1 gives
+    a - b (valid when its carry-out is 1, i.e. a >= b), lane 2 adds m for
+    the wrap-around case.  One batched carry propagation total.
+    """
+    e0 = np.zeros(LIMBS, np.uint32)
+    e0[0] = 1
+    u = a + (MASK - b) + jnp.asarray(e0)   # < 2**17 per column
     m = jnp.asarray(spec.m_limbs)
-    d_plus_m, _ = _add_raw(d, jnp.broadcast_to(m, d.shape))
-    return jnp.where((borrow == 1)[..., None], d_plus_m, d)
+    lanes = jnp.stack([u, u + m], axis=-2)  # < 3 * 2**16 per column
+    d, c = _propagate(lanes)
+    no_borrow = c[..., 0] == 1
+    return jnp.where(no_borrow[..., None], d[..., 0, :], d[..., 1, :])
 
 
 def neg(spec: FieldSpec, a):
@@ -251,6 +335,8 @@ def reduce_wide(spec: FieldSpec, v):
     fold loop is bounded < 3m, which the two conditional subtracts cover;
     an arbitrary width-17 input is not).
     """
+    if _fast_k0(spec) is not None:
+        return _reduce_cols_fast(spec, v)
     k = jnp.asarray(spec.k_limbs)
     if v.shape[-1] == 17:
         v = _pad_to(v, 18)
@@ -268,8 +354,58 @@ def reduce_wide(spec: FieldSpec, v):
     return v[..., :LIMBS]
 
 
+def _fast_k0(spec: FieldSpec):
+    """k0 if m = 2**256 - 2**32 - k0 with k0 small enough for the raw-column
+    fold (k0 * 2**21 + 2**22 < 2**31, i.e. k0 <= 1022), else None.
+
+    secp256k1's base field (K = 2**32 + 977) qualifies; its scalar field
+    (K ~ 2**129) does not and takes the generic matmul-fold path.
+    """
+    k = spec.k_limbs
+    if len(k) == 3 and int(k[1]) == 0 and int(k[2]) == 1 and int(k[0]) <= 1022:
+        return int(k[0])
+    return None
+
+
+def _reduce_cols_fast(spec: FieldSpec, cols):
+    """Reduce raw product columns (..., W >= 16, each < 2**22) mod m for
+    m = 2**256 - 2**32 - k0: the fold L + H*K becomes two column shift-adds
+    (k0*H at offset 0, H at offset 2) -- no matmul, and the first fold runs
+    on raw columns before any carry propagation.
+
+    Column bounds per fold: k0*2**21 + 2**21 + 2**22 < 2**31, within
+    _propagate's input contract.
+    """
+    k0 = np.uint32(_fast_k0(spec))
+
+    def fold(v):
+        L, H = v[..., :LIMBS], v[..., LIMBS:]
+        Hw = H.shape[-1]
+        W = max(LIMBS, Hw + 2)
+        f = _pad_to(L, W)
+        f = f.at[..., :Hw].add(H * k0)
+        f = f.at[..., 2 : 2 + Hw].add(H)
+        return f
+
+    v = cols
+    assert v.shape[-1] <= 32
+    if v.shape[-1] >= 20:
+        # Wide product: fold raw columns (< 2**21 each; k0*2**21 + 2**22
+        # < 2**31), then one cheap local pass -- no full scan needed yet.
+        v = _local_pass(fold(v))  # width 19, columns < 2**17
+    if v.shape[-1] == 17:
+        v = _pad_to(v, 18)
+    # Narrow state (width 17..19, columns < 2**17, so value < 2**257 + eps
+    # after this fold): one fold + one full propagation.
+    d, c = _propagate(fold(v))
+    v = jnp.concatenate([d, c[..., None]], axis=-1)  # 17 digits, < 3m
+    return _cond_sub2(spec, v)[..., :LIMBS]
+
+
 def mul(spec: FieldSpec, a, b):
     """(a * b) mod m."""
+    if _fast_k0(spec) is not None:
+        return _reduce_cols_fast(spec, _mul_cols(a, b))
     return reduce_wide(spec, _mul_raw(a, b))
 
 
