@@ -119,23 +119,32 @@ def _eval_base_eqs(curve: Curve, bases, s_list, t_list):
 
     bases/s/t: lists of (..., 3, L) / (..., L); stacked along a new leading
     axis so the whole group rides one doubling chain batch.
-    Returns list of k points.
+    Returns the stacked (k, ..., 3, L) result.
     """
     B = jnp.stack(bases)
     S = jnp.stack(s_list)
     T = jnp.stack(t_list)
-    out = ec.base_mul_add(curve, S, B, T)
-    return [out[i] for i in range(len(bases))]
+    return ec.base_mul_add(curve, S, B, T)
 
 
 def _eval_dual_eqs(curve: Curve, bases1, s_list, bases2, t_list):
-    """Evaluate equations  bases1_k^s_k * bases2_k^t_k  batched."""
+    """Evaluate equations  bases1_k^s_k * bases2_k^t_k  batched (stacked)."""
     P = jnp.stack(bases1)
     S = jnp.stack(s_list)
     Q = jnp.stack(bases2)
     T = jnp.stack(t_list)
-    out = ec.dual_mul(curve, P, S, Q, T)
-    return [out[i] for i in range(len(bases1))]
+    return ec.dual_mul(curve, P, S, Q, T)
+
+
+def _eq_all(curve: Curve, got_base, got_dual, eps_base, eps_dual):
+    """Compare all equations against published eps in ONE batched ec.eq.
+
+    got_*: stacked (k, ..., 3, L); eps_*: lists of (..., 3, L).
+    Returns (...,) bool (AND over every equation).
+    """
+    got = jnp.concatenate([got_base, got_dual], axis=0)
+    want = jnp.stack(eps_base + eps_dual)
+    return ec.eq(curve, got, want).all(axis=0)
 
 
 def _zero(like):
@@ -153,6 +162,19 @@ class PoKDLog(NamedTuple):
     rho: jnp.ndarray  # (..., L) response v - ch*x
 
 
+def gen_pokdlog_from(curve: Curve, v, eps, X, x, ids) -> PoKDLog:
+    """Finish a Schnorr proof from a precomputed nonce commitment.
+
+    v: nonce scalars (..., L); eps = g^v computed by the caller (so it can
+    ride the caller's batched fixed-base mul -- one comb instance per phase
+    instead of one per proof system).
+    """
+    fn = curve.fn
+    ch = fs_challenge(curve, [eps, X], ids)
+    rho = F.sub(fn, v, F.mul(fn, ch, x))
+    return PoKDLog(eps=eps, rho=rho)
+
+
 def gen_pokdlog(curve: Curve, key, X, x, ids) -> PoKDLog:
     """Prove knowledge of x with X = g^x (`SEAL/bidder.cpp:90-107`).
 
@@ -161,9 +183,7 @@ def gen_pokdlog(curve: Curve, key, X, x, ids) -> PoKDLog:
     fn = curve.fn
     v = F.random(fn, key, x.shape[:-1])
     eps = ec.mul_base(curve, v)
-    ch = fs_challenge(curve, [eps, X], ids)
-    rho = F.sub(fn, v, F.mul(fn, ch, x))
-    return PoKDLog(eps=eps, rho=rho)
+    return gen_pokdlog_from(curve, v, eps, X, x, ids)
 
 
 def ver_pokdlog(curve: Curve, proof: PoKDLog, X, ids):
@@ -195,11 +215,14 @@ def _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2):
     eps11 = g^s1 A^t1 ; eps12 = B^s1 phi^t1
     eps21 = g^s2 A^t2 ; eps22 = B^s2 (phi/g)^t2
     (verifier's checks 1-4, `SEAL/bidder.cpp:255-296`).
+
+    Returns (base_eqs (2, ...), dual_eqs (2, ...)) stacked:
+    base_eqs = [e11, e21], dual_eqs = [e12, e22].
     """
     phi_g = _g_minus(curve, phi)
-    e11, e21 = _eval_base_eqs(curve, [A, A], [s1, s2], [t1, t2])
-    e12, e22 = _eval_dual_eqs(curve, [B, B], [s1, s2], [phi, phi_g], [t1, t2])
-    return e11, e12, e21, e22
+    gb = _eval_base_eqs(curve, [A, A], [s1, s2], [t1, t2])
+    gd = _eval_dual_eqs(curve, [B, B], [s1, s2], [phi, phi_g], [t1, t2])
+    return gb, gd
 
 
 def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids) -> PoWFCom:
@@ -221,7 +244,8 @@ def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids) -> PoWFCom:
     s2 = _sel(bit0, rho_sim, r1)
     t2 = _sel(bit0, ch_sim, zero)
 
-    e11, e12, e21, e22 = _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2)
+    gb, gd = _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2)
+    e11, e21, e12, e22 = gb[0], gb[1], gd[0], gd[1]
     ch = fs_challenge(curve, [e11, e12, e21, e22, phi, A, B], ids)
 
     ch_real = F.sub(fn, ch, ch_sim)
@@ -243,14 +267,47 @@ def ver_powfcom(curve: Curve, proof: PoWFCom, phi, A, B, ids):
         ids,
     )
     ch1 = F.sub(fn, ch, proof.ch2)
-    e11, e12, e21, e22 = _powfcom_eqs(
+    gb, gd = _powfcom_eqs(
         curve, phi, A, B, proof.rho1, ch1, proof.rho2, proof.ch2
     )
-    ok = ec.eq(curve, e11, proof.eps11)
-    ok &= ec.eq(curve, e12, proof.eps12)
-    ok &= ec.eq(curve, e21, proof.eps21)
-    ok &= ec.eq(curve, e22, proof.eps22)
-    return ok
+    return _eq_all(
+        curve, gb, gd,
+        [proof.eps11, proof.eps21], [proof.eps12, proof.eps22],
+    )
+
+
+def ver_commit_phase(curve: Curve, pok_a, pok_b, powf, phi, A, B, ids):
+    """Fused commit-phase verifier: both PoKDLogs + the PoWFCom checked
+    with ONE base-equation call, ONE dual call, and ONE batched equality
+    (same checks as `SEAL/bidder.cpp:1178-1189`, graph-lean).
+    -> bool (...,).
+    """
+    fn = curve.fn
+    eps_ab = jnp.stack([pok_a.eps, pok_b.eps])
+    x_ab = jnp.stack([A, B])
+    ids2 = jnp.broadcast_to(ids, (2,) + ids.shape)
+    ch_ab = fs_challenge(curve, [eps_ab, x_ab], ids2)
+    ch = fs_challenge(
+        curve,
+        [powf.eps11, powf.eps12, powf.eps21, powf.eps22, phi, A, B],
+        ids,
+    )
+    ch1 = F.sub(fn, ch, powf.ch2)
+    phi_g = _g_minus(curve, phi)
+    gb = _eval_base_eqs(
+        curve,
+        [A, B, A, A],
+        [pok_a.rho, pok_b.rho, powf.rho1, powf.rho2],
+        [ch_ab[0], ch_ab[1], ch1, powf.ch2],
+    )
+    gd = _eval_dual_eqs(
+        curve, [B, B], [powf.rho1, powf.rho2], [phi, phi_g], [ch1, powf.ch2]
+    )
+    return _eq_all(
+        curve, gb, gd,
+        [pok_a.eps, pok_b.eps, powf.eps11, powf.eps21],
+        [powf.eps12, powf.eps22],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -283,23 +340,32 @@ def _stage1_eqs(curve, b, X, Y, R, c, A, B, s11, s12, t1, s21, s22, t2):
     eps13 = Y^s11 b^t1   eps14 = B^s12 c^t1
     eps21 = g^s21 X^t2   eps22 = g^s22 A^t2
     eps23 = R^s21 b^t2   eps24 = B^s22 (c/g)^t2
+
+    Returns (base_eqs (4, ...) = [e11,e12,e21,e22],
+             dual_eqs (4, ...) = [e13,e14,e23,e24]) stacked.
     """
     c_g = _g_minus(curve, c)
-    e11, e12, e21, e22 = _eval_base_eqs(
+    gb = _eval_base_eqs(
         curve, [X, A, X, A], [s11, s12, s21, s22], [t1, t1, t2, t2]
     )
-    e13, e14, e23, e24 = _eval_dual_eqs(
+    gd = _eval_dual_eqs(
         curve,
         [Y, B, R, B], [s11, s12, s21, s22],
         [b, c, b, c_g], [t1, t1, t2, t2],
     )
-    return e11, e12, e13, e14, e21, e22, e23, e24
+    return gb, gd
 
 
 def gen_powfstage1(
-    curve: Curve, key, b, X, Y, R, c, A, B, x, alpha, bit, ids
-) -> PoWFStage1:
-    """Generate Stage1 (`SEAL/bidder.cpp:318-451`), branchless over bit."""
+    curve: Curve, key, X, Y, R, c, A, B, x, alpha, bit, ids
+):
+    """Generate Stage1 (`SEAL/bidder.cpp:318-451`), branchless over bit.
+
+    Computes the round-2 ciphertext b = Y^x (bit 0) | R^x (bit 1) itself,
+    as an extra lane of the batched base-equation call (the reference
+    computes it separately at `SEAL/bidder.cpp:1301-1309`).
+    Returns (proof, b).
+    """
     fn = curve.fn
     batch = x.shape[:-1]
     r = F.random(fn, key, (5,) + batch)
@@ -314,13 +380,30 @@ def gen_powfstage1(
     s22 = _sel(bit0, rho_s2, r12)
     t2 = _sel(bit0, ch_sim, zero)
 
-    eqs = _stage1_eqs(curve, b, X, Y, R, c, A, B, s11, s12, t1, s21, s22, t2)
+    # ciphertext lane: b = sel^x (g^0 * sel^x)
+    sel_base = ec.select(bit0, Y, R)
+    gb5 = _eval_base_eqs(
+        curve,
+        [X, A, X, A, sel_base],
+        [s11, s12, s21, s22, _zero(x)],
+        [t1, t1, t2, t2, x],
+    )
+    b = gb5[4]
+    c_g = _g_minus(curve, c)
+    gd = _eval_dual_eqs(
+        curve,
+        [Y, B, R, B], [s11, s12, s21, s22],
+        [b, c, b, c_g], [t1, t1, t2, t2],
+    )
+    gb = gb5[:4]
+    # order: e11 e12 e13 e14 e21 e22 e23 e24
+    eqs = (gb[0], gb[1], gd[0], gd[1], gb[2], gb[3], gd[2], gd[3])
     ch = fs_challenge(curve, list(eqs) + [b, X, Y, R, c, A, B], ids)
 
     ch_real = F.sub(fn, ch, ch_sim)
     rho_x = F.sub(fn, r11, F.mul(fn, x, ch_real))
     rho_a = F.sub(fn, r12, F.mul(fn, alpha, ch_real))
-    return PoWFStage1(
+    proof = PoWFStage1(
         *eqs,
         rho11=_sel(bit0, rho_x, rho_s1),
         rho12=_sel(bit0, rho_a, rho_s2),
@@ -328,6 +411,7 @@ def gen_powfstage1(
         rho22=_sel(bit0, rho_s2, rho_a),
         ch2=_sel(bit0, ch_sim, ch_real),
     )
+    return proof, b
 
 
 def ver_powfstage1(curve: Curve, proof: PoWFStage1, b, X, Y, R, c, A, B, ids):
@@ -337,15 +421,15 @@ def ver_powfstage1(curve: Curve, proof: PoWFStage1, b, X, Y, R, c, A, B, ids):
            proof.eps21, proof.eps22, proof.eps23, proof.eps24]
     ch = fs_challenge(curve, eps + [b, X, Y, R, c, A, B], ids)
     ch1 = F.sub(fn, ch, proof.ch2)
-    eqs = _stage1_eqs(
+    gb, gd = _stage1_eqs(
         curve, b, X, Y, R, c, A, B,
         proof.rho11, proof.rho12, ch1, proof.rho21, proof.rho22, proof.ch2,
     )
-    ok = None
-    for got, want in zip(eqs, eps):
-        e = ec.eq(curve, got, want)
-        ok = e if ok is None else (ok & e)
-    return ok
+    return _eq_all(
+        curve, gb, gd,
+        [proof.eps11, proof.eps12, proof.eps21, proof.eps22],
+        [proof.eps13, proof.eps14, proof.eps23, proof.eps24],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -397,21 +481,32 @@ def _stage2_eqs(curve, pts, scal):
       e12' = Rj^s12 Bj^t1   e22' = Rj^s22 Bj^t2   e32' = Yj^s32 Bj^t3
       e13' = B^s13 (Ci/g)^t1  e23' = B^s23 Ci^t2  (branch 3 has no slot 3)
     """
-    Xi, Xj, A, Bi, Bj, B = pts["Xi"], pts["Xj"], pts["A"], pts["Bi"], pts["Bj"], pts["B"]
-    Ri, Rj, Ci, Yi, Yj = pts["Ri"], pts["Rj"], pts["Ci"], pts["Yi"], pts["Yj"]
-    ci_g = _g_minus(curve, Ci)
+    gb = _stage2_base_eqs(curve, pts, scal)
+    gd = _stage2_dual_eqs(curve, pts, scal)
+    return gb, gd
 
-    e11, e12, e13, e21, e22, e23, e31, e32 = _eval_base_eqs(
+
+def _stage2_base_eqs(curve, pts, scal, extra_bases=(), extra_s=(), extra_t=()):
+    """The eight fixed-base Stage2 equations (+ optional extra lanes)."""
+    Xi, Xj, A = pts["Xi"], pts["Xj"], pts["A"]
+    return _eval_base_eqs(
         curve,
-        [Xi, Xj, A, Xi, Xj, A, Xi, Xj],
+        [Xi, Xj, A, Xi, Xj, A, Xi, Xj] + list(extra_bases),
         [scal["s11"], scal["s12"], scal["s13"],
          scal["s21"], scal["s22"], scal["s23"],
-         scal["s31"], scal["s32"]],
+         scal["s31"], scal["s32"]] + list(extra_s),
         [scal["t1"], scal["t1"], scal["t1"],
          scal["t2"], scal["t2"], scal["t2"],
-         scal["t3"], scal["t3"]],
+         scal["t3"], scal["t3"]] + list(extra_t),
     )
-    e11p, e12p, e13p, e21p, e22p, e23p, e31p, e32p = _eval_dual_eqs(
+
+
+def _stage2_dual_eqs(curve, pts, scal):
+    """The eight dual-base Stage2 equations (need pts['Bi'])."""
+    Bi, Bj, B = pts["Bi"], pts["Bj"], pts["B"]
+    Ri, Rj, Ci, Yi, Yj = pts["Ri"], pts["Rj"], pts["Ci"], pts["Yi"], pts["Yj"]
+    ci_g = _g_minus(curve, Ci)
+    return _eval_dual_eqs(
         curve,
         [Ri, Rj, B, Yi, Rj, B, Yi, Yj],
         [scal["s11"], scal["s12"], scal["s13"],
@@ -422,9 +517,13 @@ def _stage2_eqs(curve, pts, scal):
          scal["t2"], scal["t2"], scal["t2"],
          scal["t3"], scal["t3"]],
     )
-    return (e11, e12, e13, e11p, e12p, e13p,
-            e21, e22, e23, e21p, e22p, e23p,
-            e31, e32, e31p, e32p)
+
+
+def _stage2_unpack(gb, gd):
+    """(base (8,...), dual (8,...)) -> the 16 eps in PoWFStage2 field order."""
+    return (gb[0], gb[1], gb[2], gd[0], gd[1], gd[2],
+            gb[3], gb[4], gb[5], gd[3], gd[4], gd[5],
+            gb[6], gb[7], gd[6], gd[7])
 
 
 _STAGE2_FS_PTS = ("Xi", "Xj", "A", "Bi", "Bj", "B", "Ri", "Rj", "Ci", "Yi", "Yj")
@@ -432,12 +531,16 @@ _STAGE2_FS_PTS = ("Xi", "Xj", "A", "Bi", "Bj", "B", "Ri", "Rj", "Ci", "Yi", "Yj"
 
 def gen_powfstage2(
     curve: Curve, key, pts, xi, xj, alphai, bi, bj, ids
-) -> PoWFStage2:
+):
     """Generate Stage2 (`SEAL/bidder.cpp:598-890`), branchless over (bi, bj).
 
     Real branch: 1 if bi==1 (protocol invariant bi=1 => bj=1), 2 if bi==0
     and bj==1, 3 if bi==bj==0.  All simulated responses are uniformly
     random (fixing the reference's zero-rho quirk at `:749-754`).
+
+    pts must NOT contain "Bi": the ciphertext Bi = Yi^xi (bi 0) | Ri^xi
+    (bi 1) is computed here as an extra lane of the batched base-equation
+    call.  Returns (proof, Bi).
     """
     fn = curve.fn
     batch = xi.shape[:-1]
@@ -465,7 +568,16 @@ def gen_powfstage2(
         scal[f"t{m}"] = _sel(is_real[m], zero, ch_sim[m])
     # branch 3 has no slot 3; the eq evaluator never reads s33.
 
-    eqs = _stage2_eqs(curve, pts, scal)
+    sel_base = ec.select(bi == 0, pts["Yi"], pts["Ri"])
+    gb9 = _stage2_base_eqs(
+        curve, pts, scal,
+        extra_bases=[sel_base], extra_s=[_zero(xi)], extra_t=[xi],
+    )
+    b = gb9[8]
+    pts = dict(pts, Bi=b)
+    gb = gb9[:8]
+    gd = _stage2_dual_eqs(curve, pts, scal)
+    eqs = _stage2_unpack(gb, gd)
     ch = fs_challenge(
         curve, list(eqs) + [pts[k] for k in _STAGE2_FS_PTS], ids
     )
@@ -490,13 +602,14 @@ def gen_powfstage2(
         m: _sel(is_real[m], ch_real, ch_sim[m]) for m in (2, 3)
     }
 
-    return PoWFStage2(
+    proof = PoWFStage2(
         *eqs,
         rho11=out_rho["rho11"], rho12=out_rho["rho12"], rho13=out_rho["rho13"],
         rho21=out_rho["rho21"], rho22=out_rho["rho22"], rho23=out_rho["rho23"],
         rho31=out_rho["rho31"], rho32=out_rho["rho32"],
         ch2=out_ch[2], ch3=out_ch[3],
     )
+    return proof, b
 
 
 def ver_powfstage2(curve: Curve, proof: PoWFStage2, pts, ids):
@@ -511,9 +624,9 @@ def ver_powfstage2(curve: Curve, proof: PoWFStage2, pts, ids):
         "s31": proof.rho31, "s32": proof.rho32,
         "t1": ch1, "t2": proof.ch2, "t3": proof.ch3,
     }
-    eqs = _stage2_eqs(curve, pts, scal)
-    ok = None
-    for got, want in zip(eqs, eps):
-        e = ec.eq(curve, got, want)
-        ok = e if ok is None else (ok & e)
-    return ok
+    gb, gd = _stage2_eqs(curve, pts, scal)
+    eps_base = [eps[0], eps[1], eps[2], eps[6], eps[7], eps[8],
+                eps[12], eps[13]]
+    eps_dual = [eps[3], eps[4], eps[5], eps[9], eps[10], eps[11],
+                eps[14], eps[15]]
+    return _eq_all(curve, gb, gd, eps_base, eps_dual)

@@ -177,6 +177,10 @@ def _window_digits(k):
     return jnp.moveaxis(d, -1, 0)
 
 
+def _dbl4(curve: Curve, acc):
+    return jax.lax.fori_loop(0, COMB_WINDOW, lambda _, a: dbl(curve, a), acc)
+
+
 def scalar_mul(curve: Curve, P, k):
     """Variable-base scalar mult k*P, batched; constant-time shape.
 
@@ -190,9 +194,7 @@ def scalar_mul(curve: Curve, P, k):
 
     def body(i, acc):
         w = (COMB_WINDOWS - 1) - i
-        acc = jax.lax.fori_loop(
-            0, COMB_WINDOW, lambda _, a: dbl(curve, a), acc
-        )
+        acc = _dbl4(curve, acc)
         digit = jax.lax.dynamic_index_in_dim(digits, w, 0, keepdims=False)
         entry = _select_entry(table, digit)
         return add(curve, acc, entry)
@@ -201,15 +203,17 @@ def scalar_mul(curve: Curve, P, k):
 
 
 def _select_entry(table, digit):
-    """Branchless constant-time table[digit] select.
+    """Constant-shape table[digit] lookup via XLA gather.
 
-    table: (16, [batch...,] 3, L) -- per-lane or shared entries; digit (...,).
-    16 unrolled selects on the VPU; entries broadcast against the digit batch.
+    table: (E, 3, L) shared or (E, batch..., 3, L) per-lane; digit (...,).
+    A single gather keeps the graph tiny; on TPU the vector gather's timing
+    does not depend on the index values.
     """
-    out = jnp.zeros(digit.shape + table.shape[-2:], jnp.uint32)
-    for d in range(COMB_SIZE):
-        out = jnp.where((digit == d)[..., None, None], table[d], out)
-    return out
+    if table.ndim == 3:
+        return jnp.take(table, digit, axis=0)
+    t = jnp.moveaxis(table, 0, -3)  # batch... + (E, 3, L)
+    idx = digit[..., None, None, None].astype(jnp.int32)
+    return jnp.take_along_axis(t, idx, axis=-3).squeeze(-3)
 
 
 def _build_table(curve: Curve, P):
@@ -232,21 +236,42 @@ def dual_mul(curve: Curve, P, kp, Q, kq):
     This is the workhorse of NIZK verification, where every check is of the
     form eps == base1^rho * base2^ch
     (`/root/reference/SEAL/bidder.cpp:255-296,487-568,937-1098`).
+
+    Graph-lean structure: both tables are built in ONE stacked scan, and
+    the window loop runs 2*64 interleaved iterations (doublings only on
+    even ones, via lax.cond) so the loop body contains a single point-add
+    instance -- halving the XLA graph vs. two adds per window.
     """
-    batch = P.shape[:-2]
-    tp = _build_table(curve, P)
-    tq = _build_table(curve, Q)
-    dp = _window_digits(kp)
-    dq = _window_digits(kq)
+    batch = jnp.broadcast_shapes(
+        P.shape[:-2], Q.shape[:-2], kp.shape[:-1], kq.shape[:-1]
+    )
+    pq = jnp.stack(
+        [
+            jnp.broadcast_to(P, batch + P.shape[-2:]),
+            jnp.broadcast_to(Q, batch + Q.shape[-2:]),
+        ],
+        axis=0,
+    )
+    tables = _build_table(curve, pq)  # (16, 2, batch..., 3, L)
+    flat = tables.reshape((COMB_SIZE * 2,) + tables.shape[2:])
+    digs = jnp.stack(
+        [
+            jnp.broadcast_to(_window_digits(kp), (COMB_WINDOWS,) + batch),
+            jnp.broadcast_to(_window_digits(kq), (COMB_WINDOWS,) + batch),
+        ],
+        axis=1,
+    )  # (64, 2, batch...)
 
     def body(i, acc):
-        w = (COMB_WINDOWS - 1) - i
-        acc = jax.lax.fori_loop(0, COMB_WINDOW, lambda _, a: dbl(curve, a), acc)
-        ep = _select_entry(tp, jax.lax.dynamic_index_in_dim(dp, w, 0, False))
-        eq_ = _select_entry(tq, jax.lax.dynamic_index_in_dim(dq, w, 0, False))
-        return add(curve, add(curve, acc, ep), eq_)
+        w = (COMB_WINDOWS - 1) - (i // 2)
+        par = i % 2
+        acc = jax.lax.cond(par == 0, lambda a: _dbl4(curve, a), lambda a: a, acc)
+        dw = jax.lax.dynamic_index_in_dim(digs, w, 0, keepdims=False)
+        dig = jax.lax.dynamic_index_in_dim(dw, par, 0, keepdims=False)
+        entry = _select_entry(flat, dig * 2 + par.astype(jnp.uint32))
+        return add(curve, acc, entry)
 
-    return jax.lax.fori_loop(0, COMB_WINDOWS, body, infinity(batch))
+    return jax.lax.fori_loop(0, 2 * COMB_WINDOWS, body, infinity(batch))
 
 
 def base_mul_add(curve: Curve, s, P, t):
@@ -257,21 +282,28 @@ def base_mul_add(curve: Curve, s, P, t):
     supplies the 2**(4w) window factors for both scalars.  Equivalent of
     EC_POINT_mul(group, r, s, P, t, ctx) / the g^rho * X^ch verification
     pattern (`/root/reference/SEAL/bidder.cpp:128-130,255-296`).
+
+    Same interleaved single-add loop structure as dual_mul.
     """
-    batch = t.shape[:-1]
-    tq = _build_table(curve, P)
-    dq = _window_digits(t)
-    ds = _window_digits(s)
+    batch = jnp.broadcast_shapes(P.shape[:-2], s.shape[:-1], t.shape[:-1])
+    tq = _build_table(curve, jnp.broadcast_to(P, batch + P.shape[-2:]))
+    dq = jnp.broadcast_to(_window_digits(t), (COMB_WINDOWS,) + batch)
+    ds = jnp.broadcast_to(_window_digits(s), (COMB_WINDOWS,) + batch)
+    digs = jnp.stack([ds, dq], axis=1)  # (64, 2, batch...)
     tg = jnp.asarray(curve.comb_table[0])  # (16, 3, L) constant [d]*G
 
     def body(i, acc):
-        w = (COMB_WINDOWS - 1) - i
-        acc = jax.lax.fori_loop(0, COMB_WINDOW, lambda _, a: dbl(curve, a), acc)
-        eg = _select_entry(tg, jax.lax.dynamic_index_in_dim(ds, w, 0, False))
-        ep = _select_entry(tq, jax.lax.dynamic_index_in_dim(dq, w, 0, False))
-        return add(curve, add(curve, acc, eg), ep)
+        w = (COMB_WINDOWS - 1) - (i // 2)
+        par = i % 2
+        acc = jax.lax.cond(par == 0, lambda a: _dbl4(curve, a), lambda a: a, acc)
+        dw = jax.lax.dynamic_index_in_dim(digs, w, 0, keepdims=False)
+        dig = jax.lax.dynamic_index_in_dim(dw, par, 0, keepdims=False)
+        eg = _select_entry(tg, dig)
+        ep = _select_entry(tq, dig)
+        entry = select((par == 1), ep, eg)
+        return add(curve, acc, entry)
 
-    return jax.lax.fori_loop(0, COMB_WINDOWS, body, infinity(batch))
+    return jax.lax.fori_loop(0, 2 * COMB_WINDOWS, body, infinity(batch))
 
 
 def mul_base(curve: Curve, k):
@@ -287,11 +319,12 @@ def mul_comb(curve: Curve, table, k):
     """Comb scalar mult against a (64, 16, 3, L) table of any base point."""
     batch = k.shape[:-1]
     digits = _window_digits(k)
+    flat = table.reshape((COMB_WINDOWS * COMB_SIZE,) + table.shape[2:])
 
     def body(w, acc):
-        win = jax.lax.dynamic_index_in_dim(table, w, axis=0, keepdims=False)
         digit = jax.lax.dynamic_index_in_dim(digits, w, 0, keepdims=False)
-        return add(curve, acc, _select_entry(win, digit))
+        idx = w.astype(jnp.uint32) * COMB_SIZE + digit
+        return add(curve, acc, _select_entry(flat, idx))
 
     return jax.lax.fori_loop(0, COMB_WINDOWS, body, infinity(batch))
 
@@ -352,32 +385,41 @@ def on_curve(curve: Curve, P):
 # reductions over point axes
 # --------------------------------------------------------------------------
 
-def ec_sum(curve: Curve, P, axis: int = 0):
-    """Tree-fold point sum along `axis` (log-depth; collective-friendly).
+def ec_prefix_scan(curve: Curve, P, axis: int = 0):
+    """Inclusive prefix sums of points along `axis`.
 
+    Hillis-Steele ladder as ONE fori_loop (log2(n) iterations of
+    shift-and-add): the whole scan compiles to a single point-add instance,
+    unlike lax.associative_scan whose odd/even recursion emits a separate
+    add graph per level.  Work is n*log(n) adds, but they are batched VPU
+    lanes -- depth (which is what the tree would also pay) is identical.
     Equivalent of the reference's sequential EC_POINT_add loops
-    (`/root/reference/SEAL/bidder.cpp:1393-1395`), but O(log n) depth so XLA
-    can keep lanes busy and insert efficient collectives when sharded.
+    (`/root/reference/SEAL/bidder.cpp:1286-1299,1393-1395`).
     """
     P = jnp.moveaxis(P, axis, 0)
     n = P.shape[0]
-    while n > 1:
-        half = (n + 1) // 2
-        lo = P[:n // 2]
-        hi = P[half: half + n // 2]
-        merged = add(curve, lo, hi)
-        if n % 2 == 1:
-            merged = jnp.concatenate([merged, P[n // 2: half]], axis=0)
-        P = merged
-        n = P.shape[0]
-    return P[0]
+    if n == 1:
+        return jnp.moveaxis(P, 0, axis)
+    levels = max(1, (n - 1).bit_length())
+    inf = infinity(P.shape[:-2])
+    rows = jnp.arange(n)
+
+    def level(l, v):
+        s = jnp.left_shift(jnp.int32(1), l)
+        shifted = jnp.roll(v, s, axis=0)
+        shifted = select(
+            (rows >= s).reshape((n,) + (1,) * (v.ndim - 3)), shifted, inf
+        )
+        return add(curve, v, shifted)
+
+    out = jax.lax.fori_loop(0, levels, level, P)
+    return jnp.moveaxis(out, 0, axis)
 
 
-def ec_prefix_scan(curve: Curve, P, axis: int = 0):
-    """Inclusive prefix sums of points along `axis` via associative scan."""
-    return jax.lax.associative_scan(
-        lambda a, b: add(curve, a, b), P, axis=axis
-    )
+def ec_sum(curve: Curve, P, axis: int = 0):
+    """Point sum along `axis` (single-instance ladder; see ec_prefix_scan)."""
+    P = jnp.moveaxis(P, axis, 0)
+    return ec_prefix_scan(curve, P, axis=0)[-1]
 
 
 # --------------------------------------------------------------------------

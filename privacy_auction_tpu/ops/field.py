@@ -108,13 +108,24 @@ def _carry_scan(g, p):
     generate/propagate bits (uint32 in {0,1}), log-depth.
 
     carry_in[0] = 0; carry_in[i+1] = g[i] | (p[i] & carry_in[i]).
+    Hand-rolled pad-shift ladder: ceil(log2(W)) levels of 4 vector ops --
+    a much leaner graph than lax.associative_scan's odd/even recursion.
     """
-    def combine(l, r):
-        gl, pl = l
-        gr, pr = r
-        return gr | (pr & gl), pr & pl
-
-    G, _ = jax.lax.associative_scan(combine, (g, p), axis=-1)
+    W = g.shape[-1]
+    G, P = g, p
+    s = 1
+    while s < W:
+        # shift right along the limb axis by s, filling with the identity
+        # (0 for G under |, 1 for P under &)
+        Gs = jnp.pad(G[..., :-s], [(0, 0)] * (G.ndim - 1) + [(s, 0)])
+        Ps = jnp.pad(
+            P[..., :-s],
+            [(0, 0)] * (P.ndim - 1) + [(s, 0)],
+            constant_values=1,
+        )
+        G = G | (P & Gs)
+        P = P & Ps
+        s *= 2
     zero = jnp.zeros(g.shape[:-1] + (1,), U32)
     return jnp.concatenate([zero, G[..., :-1]], axis=-1), G[..., -1]
 

@@ -48,34 +48,41 @@ def _rotr(x, k: int):
 def _compress(state, w):
     """One SHA-256 block: state (..., 8), w (..., 16) -> new state.
 
-    The 64 rounds are unrolled at trace time; the message schedule keeps a
-    16-word rolling window (python list of arrays, free at trace time).
+    The 64 rounds ride a lax.fori_loop (graph-lean: one round body compiled
+    once); the message schedule keeps a 16-word rolling window indexed with
+    dynamic slices.  For t < 16 the schedule update is computed but
+    discarded via a select -- constant shapes, no control flow.
     """
-    a, b, c, d, e, f, g, h = (state[..., i] for i in range(8))
-    win = [w[..., i] for i in range(16)]
+    K = jnp.asarray(_K)
 
-    for t in range(64):
-        if t < 16:
-            wt = win[t]
-        else:
-            w15 = win[(t - 15) % 16]
-            w2 = win[(t - 2) % 16]
-            s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> np.uint32(3))
-            s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> np.uint32(10))
-            wt = win[t % 16] + s0 + win[(t - 7) % 16] + s1
-            win[t % 16] = wt
+    def idx(win, j):
+        return jax.lax.dynamic_index_in_dim(win, j % 16, axis=-1,
+                                            keepdims=False)
+
+    def round_fn(t, carry):
+        st, win = carry
+        a, b, c, d, e, f, g, h = (st[..., i] for i in range(8))
+        w15 = idx(win, t + 1)    # (t - 15) mod 16
+        w2 = idx(win, t + 14)    # (t - 2) mod 16
+        w7 = idx(win, t + 9)     # (t - 7) mod 16
+        w0 = idx(win, t)         # t mod 16
+        s0 = _rotr(w15, 7) ^ _rotr(w15, 18) ^ (w15 >> np.uint32(3))
+        s1 = _rotr(w2, 17) ^ _rotr(w2, 19) ^ (w2 >> np.uint32(10))
+        sched = w0 + s0 + w7 + s1
+        wt = jnp.where(t < 16, w0, sched)
+        win = jax.lax.dynamic_update_index_in_dim(win, wt, t % 16, axis=-1)
         S1 = _rotr(e, 6) ^ _rotr(e, 11) ^ _rotr(e, 25)
         ch = (e & f) ^ (~e & g)
-        temp1 = h + S1 + ch + np.uint32(_K[t]) + wt
+        temp1 = h + S1 + ch + K[t] + wt
         S0 = _rotr(a, 2) ^ _rotr(a, 13) ^ _rotr(a, 22)
         maj = (a & b) ^ (a & c) ^ (b & c)
         temp2 = S0 + maj
-        h, g, f = g, f, e
-        e = d + temp1
-        d, c, b = c, b, a
-        a = temp1 + temp2
+        st = jnp.stack(
+            [temp1 + temp2, a, b, c, d + temp1, e, f, g], axis=-1
+        )
+        return st, win
 
-    out = jnp.stack([a, b, c, d, e, f, g, h], axis=-1)
+    out, _ = jax.lax.fori_loop(0, 64, round_fn, (state, w))
     return out + state
 
 

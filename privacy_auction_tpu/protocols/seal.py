@@ -149,27 +149,28 @@ def commit(curve: Curve, key, bid_bits, ids):
     """
     fn = curve.fn
     n, c = bid_bits.shape
-    k_ab, k_pa, k_pb, k_wf = jax.random.split(key, 4)
+    k_ab, k_v, k_wf = jax.random.split(key, 3)
     ab = F.random(fn, k_ab, (2, n, c))
     alpha, beta = ab[0], ab[1]
+    v = F.random(fn, k_v, (2, n, c))  # Schnorr nonces for the two PoKDLogs
 
-    # phi = g^(alpha*beta + bit), A = g^alpha, B = g^beta: one batched
-    # fixed-base mul over 3*n*c lanes.
+    # phi = g^(alpha*beta + bit), A = g^alpha, B = g^beta, plus both Schnorr
+    # nonce commitments: ONE batched fixed-base mul over 5*n*c lanes.
     exp_phi = F.add(
         fn, F.mul(fn, alpha, beta),
         jnp.zeros((n, c, LIMBS), jnp.uint32).at[..., 0].set(bid_bits),
     )
-    pts = ec.mul_base(curve, jnp.stack([exp_phi, alpha, beta]))
+    pts = ec.mul_base(curve, jnp.stack([exp_phi, alpha, beta, v[0], v[1]]))
     phi, A, B = pts[0], pts[1], pts[2]
 
     ids_nc = jnp.broadcast_to(ids[:, None], (n, c))
-    pok = nizk.gen_pokdlog(
-        curve, k_pa,
+    pok = nizk.gen_pokdlog_from(
+        curve, v, pts[3:5],
         jnp.stack([A, B]), jnp.stack([alpha, beta]),
         jnp.broadcast_to(ids_nc, (2, n, c)),
     )
-    pok_a = jax.tree.map(lambda v: v[0], pok)
-    pok_b = jax.tree.map(lambda v: v[1], pok)
+    pok_a = jax.tree.map(lambda t: t[0], pok)
+    pok_b = jax.tree.map(lambda t: t[1], pok)
     powf = nizk.gen_powfcom(curve, k_wf, phi, A, B, alpha, bid_bits, ids_nc)
     return (
         CommitmentPub(phi=phi, A=A, B=B, pok_a=pok_a, pok_b=pok_b, powf=powf),
@@ -184,14 +185,9 @@ def verify_commit(curve: Curve, pub: CommitmentPub, ids):
     """
     n, c = pub.phi.shape[:2]
     ids_nc = jnp.broadcast_to(ids[:, None], (n, c))
-    ok = nizk.ver_pokdlog(
-        curve,
-        jax.tree.map(lambda a, b: jnp.stack([a, b]), pub.pok_a, pub.pok_b),
-        jnp.stack([pub.A, pub.B]),
-        jnp.broadcast_to(ids_nc, (2, n, c)),
+    return nizk.ver_commit_phase(
+        curve, pub.pok_a, pub.pok_b, pub.powf, pub.phi, pub.A, pub.B, ids_nc
     )
-    okc = nizk.ver_powfcom(curve, pub.powf, pub.phi, pub.A, pub.B, ids_nc)
-    return ok[0] & ok[1] & okc
 
 
 # --------------------------------------------------------------------------
@@ -201,16 +197,19 @@ def verify_commit(curve: Curve, pub: CommitmentPub, ids):
 def round_one(curve: Curve, key, n: int, ids):
     """Per-step key generation for all bidders (`SEAL/bidder.cpp:1203-1236`)."""
     fn = curve.fn
-    k_xr, k_p = jax.random.split(key)
+    k_xr, k_v = jax.random.split(key)
     xr = F.random(fn, k_xr, (2, n))
     x, r = xr[0], xr[1]
-    pts = ec.mul_base(curve, xr)
+    v = F.random(fn, k_v, (2, n))
+    # keys AND Schnorr nonce commitments in one fixed-base mul (4 lanes)
+    pts4 = ec.mul_base(curve, jnp.concatenate([xr, v], axis=0))
+    pts, eps = pts4[:2], pts4[2:]
     X, R = pts[0], pts[1]
-    pok = nizk.gen_pokdlog(
-        curve, k_p, pts, xr, jnp.broadcast_to(ids, (2, n))
+    pok = nizk.gen_pokdlog_from(
+        curve, v, eps, pts, xr, jnp.broadcast_to(ids, (2, n))
     )
-    pok_x = jax.tree.map(lambda v: v[0], pok)
-    pok_r = jax.tree.map(lambda v: v[1], pok)
+    pok_x = jax.tree.map(lambda t: t[0], pok)
+    pok_r = jax.tree.map(lambda t: t[1], pok)
     return (
         RoundOnePub(X=X, R=R, pok_x=pok_x, pok_r=pok_r),
         RoundOneSec(x=x, r=r),
@@ -233,50 +232,42 @@ def verify_round_one(curve: Curve, pub: RoundOnePub, ids):
 # round 2
 # --------------------------------------------------------------------------
 
-def _encode_bits(curve: Curve, sec: RoundOneSec, pub: RoundOnePub, d):
-    """Y keys + ciphertexts b for all bidders; d (n,) is the effective bit
-    (`SEAL/bidder.cpp:1286-1309`)."""
-    Y = avnet_keys(curve, pub.X)
-    base = ec.select(d == 0, Y, pub.R)
-    b = ec.scalar_mul(curve, base, sec.x)
-    return Y, b
-
-
-def round_two_stage1(curve: Curve, key, sec, pub, commit_pub, commit_sec,
+def round_two_stage1(curve: Curve, key, sec, pub, Y, commit_pub, commit_sec,
                      step_bits, d, ids, step: int):
     """Round 2 before the junction (`SEAL/bidder.cpp:1271-1321`).
 
-    step_bits: (n,) actual bid bits at this step; d: effective bits
-    (equal to step_bits pre-junction since everyone is in the race).
-    Returns (RoundTwoPub, StepInfo).
+    Y: AV-net keys for this step (computed once per step via avnet_keys --
+    they are a public function of the round-1 X keys).  step_bits: (n,)
+    actual bid bits at this step; d: effective bits (equal to step_bits
+    pre-junction since everyone is in the race).
+    Returns (RoundTwoPub, StepInfo).  The ciphertext b = x*Y | x*R
+    (`SEAL/bidder.cpp:1301-1309`) rides the proof's batched EC call.
     """
-    Y, b = _encode_bits(curve, sec, pub, d)
     phi = commit_pub.phi[:, step]
     A = commit_pub.A[:, step]
     B = commit_pub.B[:, step]
-    proof = nizk.gen_powfstage1(
-        curve, key, b, pub.X, Y, pub.R, phi, A, B,
+    proof, b = nizk.gen_powfstage1(
+        curve, key, pub.X, Y, pub.R, phi, A, B,
         sec.x, commit_sec.alpha[:, step], d, ids,
     )
     info = StepInfo(X=pub.X, R=pub.R, Y=Y, b=b, x=sec.x, d=d)
     return RoundTwoPub(b=b, proof1=proof, proof2=None), info
 
 
-def round_two_stage2(curve: Curve, key, sec, pub, commit_pub, commit_sec,
+def round_two_stage2(curve: Curve, key, sec, pub, Y, commit_pub, commit_sec,
                      d, prev: StepInfo, ids, step: int):
     """Round 2 after the junction (`SEAL/bidder.cpp:1271-1331`).
 
     prev: snapshot of the last deciding step (public parts shared by all
     verifiers; x/d are the prover's own secrets).
     """
-    Y, b = _encode_bits(curve, sec, pub, d)
     pts = dict(
-        Bi=b, Xi=pub.X, Ri=pub.R, Yi=Y,
+        Xi=pub.X, Ri=pub.R, Yi=Y,
         Bj=prev.b, Xj=prev.X, Rj=prev.R, Yj=prev.Y,
         Ci=commit_pub.phi[:, step],
         A=commit_pub.A[:, step], B=commit_pub.B[:, step],
     )
-    proof = nizk.gen_powfstage2(
+    proof, b = nizk.gen_powfstage2(
         curve, key, pts, sec.x, prev.x, commit_sec.alpha[:, step],
         d, prev.d, ids,
     )
@@ -285,9 +276,8 @@ def round_two_stage2(curve: Curve, key, sec, pub, commit_pub, commit_sec,
 
 
 def verify_round_two_stage1(curve: Curve, pub2: RoundTwoPub, pub1: RoundOnePub,
-                            commit_pub: CommitmentPub, ids, step: int):
+                            Y, commit_pub: CommitmentPub, ids, step: int):
     """(`SEAL/bidder.cpp:1346-1369`) -> (n,) bool."""
-    Y = avnet_keys(curve, pub1.X)
     return nizk.ver_powfstage1(
         curve, pub2.proof1, pub2.b, pub1.X, Y, pub1.R,
         commit_pub.phi[:, step], commit_pub.A[:, step],
@@ -296,10 +286,9 @@ def verify_round_two_stage1(curve: Curve, pub2: RoundTwoPub, pub1: RoundOnePub,
 
 
 def verify_round_two_stage2(curve: Curve, pub2: RoundTwoPub, pub1: RoundOnePub,
-                            commit_pub: CommitmentPub, prev: StepInfo,
+                            Y, commit_pub: CommitmentPub, prev: StepInfo,
                             ids, step: int):
     """(`SEAL/bidder.cpp:1346-1377`) -> (n,) bool."""
-    Y = avnet_keys(curve, pub1.X)
     pts = dict(
         Bi=pub2.b, Xi=pub1.X, Ri=pub1.R, Yi=Y,
         Bj=prev.b, Xj=prev.X, Rj=prev.R, Yj=prev.Y,
@@ -374,23 +363,24 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
                 np.asarray(_jit_verify_round_one(curve, pub1, ids)).all()
             )
         d = bits[:, step] & in_race
+        Y = _jit_avnet(curve, pub1.X)
         if not junction:
             pub2, info = _jit_round_two_s1(
-                curve, keys[2 * step + 2], sec1, pub1, commit_pub,
+                curve, keys[2 * step + 2], sec1, pub1, Y, commit_pub,
                 commit_sec, bits[:, step], d, ids, step,
             )
             if verify:
                 ok = ok and bool(np.asarray(_jit_verify_round_two_s1(
-                    curve, pub2, pub1, commit_pub, ids, step
+                    curve, pub2, pub1, Y, commit_pub, ids, step
                 )).all())
         else:
             pub2, info = _jit_round_two_s2(
-                curve, keys[2 * step + 2], sec1, pub1, commit_pub,
+                curve, keys[2 * step + 2], sec1, pub1, Y, commit_pub,
                 commit_sec, d, prev, ids, step,
             )
             if verify:
                 ok = ok and bool(np.asarray(_jit_verify_round_two_s2(
-                    curve, pub2, pub1, commit_pub, prev, ids, step
+                    curve, pub2, pub1, Y, commit_pub, prev, ids, step
                 )).all())
         if trackers is not None:
             trackers.account_step(n, stage2=junction)
@@ -407,6 +397,7 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
 
 
 # jitted entry points (curve/step static)
+_jit_avnet = jax.jit(avnet_keys, static_argnums=0)
 _jit_commit = jax.jit(commit, static_argnums=0)
 _jit_verify_commit = jax.jit(verify_commit, static_argnums=0)
 _jit_round_one = jax.jit(round_one, static_argnums=(0, 2))

@@ -13,9 +13,16 @@ import os
 
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags += " --xla_force_host_platform_device_count=8"
+# Tests check correctness, not CPU throughput: skip the expensive LLVM
+# optimization passes (2-3x faster XLA:CPU compiles of the big crypto
+# kernels; runtime slowdown is irrelevant at test shapes).
+if "xla_backend_optimization_level" not in xla_flags:
+    xla_flags += (
+        " --xla_backend_optimization_level=0"
+        " --xla_llvm_disable_expensive_passes=true"
+    )
+os.environ["XLA_FLAGS"] = xla_flags.strip()
 
 import jax
 

@@ -154,9 +154,11 @@ def test_powfstage1_roundtrip(rng):
     bit = jnp.asarray(np.array(bits, dtype=np.uint32))
     ids = jnp.arange(n, dtype=jnp.uint32)
     key = jax.random.key(11)
-    proof = jax.jit(
+    proof, b_dev = jax.jit(
         lambda k, *a: nizk.gen_powfstage1(CURVE, k, *a)
-    )(key, b, X, Y, R, phi, A, B, x, alpha, bit, ids)
+    )(key, X, Y, R, phi, A, B, x, alpha, bit, ids)
+    # the proof's internally-computed ciphertext matches the host oracle
+    assert bool(np.asarray(EC.eq(CURVE, b_dev, b)).all())
     ok = jax.jit(
         lambda pr, *a: nizk.ver_powfstage1(CURVE, pr, *a)
     )(proof, b, X, Y, R, phi, A, B, ids)
@@ -205,14 +207,16 @@ def test_powfstage2_roundtrip(rng):
     xi, Xi, Ri, Yi, Bi = avnet_step(rng, bits_i)
     xj, Xj, Rj, Yj, Bj = avnet_step(rng, bits_j)
     Ci, A, B, alphai, _ = _commitment(rng, bits_i)
-    pts = dict(Bi=Bi, Xi=Xi, Ri=Ri, Bj=Bj, Xj=Xj, Rj=Rj,
-               Ci=Ci, A=A, B=B, Yi=Yi, Yj=Yj)
+    gen_pts = dict(Xi=Xi, Ri=Ri, Bj=Bj, Xj=Xj, Rj=Rj,
+                   Ci=Ci, A=A, B=B, Yi=Yi, Yj=Yj)
     ids = jnp.arange(n, dtype=jnp.uint32)
     key = jax.random.key(13)
-    proof = jax.jit(
+    proof, bi_dev = jax.jit(
         lambda k, p, a1, a2, a3, b1, b2, i:
             nizk.gen_powfstage2(CURVE, k, p, a1, a2, a3, b1, b2, i)
-    )(key, pts, xi, xj, alphai, bi, bj, ids)
+    )(key, gen_pts, xi, xj, alphai, bi, bj, ids)
+    assert bool(np.asarray(EC.eq(CURVE, bi_dev, Bi)).all())
+    pts = dict(gen_pts, Bi=Bi)
     ok = jax.jit(lambda pr, p, i: nizk.ver_powfstage2(CURVE, pr, p, i))(
         proof, pts, ids
     )
