@@ -34,11 +34,14 @@ def bench_scalar_mul(batch: int, iters: int = 8) -> float:
     P = jax.block_until_ready(P)
 
     fn = jax.jit(lambda p, s: ec.scalar_mul(CURVE, p, s))
-    out = jax.block_until_ready(fn(P, k))  # compile
+    out = fn(P, k)
+    _ = np.asarray(out)  # hard sync: device->host transfer, not just
+    # block_until_ready (which the experimental axon platform can satisfy
+    # before execution completes -- round 1's 113M ops/s was that artifact)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(out, k)
-    jax.block_until_ready(out)
+    _ = np.asarray(out)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

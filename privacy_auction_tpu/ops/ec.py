@@ -19,6 +19,8 @@ EC_POINT_* (`/root/reference/SEAL/bidder.cpp:1131-1138` EC_POINT_mul,
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,6 +29,21 @@ from ..curves import COMB_SIZE, COMB_WINDOW, COMB_WINDOWS, Curve
 from . import field as F
 
 LIMBS = F.LIMBS
+
+# Pallas kernel dispatch: "auto" uses the fused VMEM ladders on TPU and the
+# pure-XLA path elsewhere; "1"/"0" force it on/off (tests pin both paths).
+_PALLAS_MODE = os.environ.get("PA_TPU_PALLAS", "auto")
+
+
+def _use_pallas() -> bool:
+    if _PALLAS_MODE == "0":
+        return False
+    if _PALLAS_MODE == "1":
+        return True
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 # --------------------------------------------------------------------------
@@ -188,6 +205,9 @@ def scalar_mul(curve: Curve, P, k):
     scan), then 64 iterations of 4 doublings + table add.  Equivalent of
     EC_POINT_mul(group, r, NULL, P, k) (`/root/reference/SEAL/bidder.cpp:129`).
     """
+    if _use_pallas():
+        from . import pallas_ec
+        return pallas_ec.scalar_mul(curve, P, k)
     batch = P.shape[:-2]
     table = _build_table(curve, P)  # (16, ..., 3, L)
     digits = _window_digits(k)
@@ -242,6 +262,9 @@ def dual_mul(curve: Curve, P, kp, Q, kq):
     even ones, via lax.cond) so the loop body contains a single point-add
     instance -- halving the XLA graph vs. two adds per window.
     """
+    if _use_pallas():
+        from . import pallas_ec
+        return pallas_ec.dual_mul(curve, P, kp, Q, kq)
     batch = jnp.broadcast_shapes(
         P.shape[:-2], Q.shape[:-2], kp.shape[:-1], kq.shape[:-1]
     )
@@ -285,6 +308,9 @@ def base_mul_add(curve: Curve, s, P, t):
 
     Same interleaved single-add loop structure as dual_mul.
     """
+    if _use_pallas():
+        from . import pallas_ec
+        return pallas_ec.base_mul_add(curve, s, P, t)
     batch = jnp.broadcast_shapes(P.shape[:-2], s.shape[:-1], t.shape[:-1])
     tq = _build_table(curve, jnp.broadcast_to(P, batch + P.shape[-2:]))
     dq = jnp.broadcast_to(_window_digits(t), (COMB_WINDOWS,) + batch)
@@ -312,11 +338,17 @@ def mul_base(curve: Curve, k):
     64 complete adds, no doublings.  Equivalent of
     EC_POINT_mul(group, r, k, NULL, NULL) (`/root/reference/SEAL/bidder.cpp:98`).
     """
+    if _use_pallas():
+        from . import pallas_ec
+        return pallas_ec.mul_base(curve, k)
     return mul_comb(curve, jnp.asarray(curve.comb_table), k)
 
 
 def mul_comb(curve: Curve, table, k):
     """Comb scalar mult against a (64, 16, 3, L) table of any base point."""
+    if _use_pallas():
+        from . import pallas_ec
+        return pallas_ec.mul_comb(curve, table, k)
     batch = k.shape[:-1]
     digits = _window_digits(k)
     flat = table.reshape((COMB_WINDOWS * COMB_SIZE,) + table.shape[2:])
