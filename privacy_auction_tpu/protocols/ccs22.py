@@ -32,8 +32,8 @@ Like the reference (`CCS22/main.cpp:132-134`), the verification phase is
 not part of the protocol run; the commitments bind the parties for a
 later audit.  The reference's insecure CRS shortcut (g1, h from random
 scalars instead of hash-to-curve, `CCS22/bulletinBoard.cpp:30-33,42-45`)
-is reproduced structurally but the scalars are drawn from the PRNG key and
-immediately discarded.
+is fixed here: g1/h are deterministic hash-to-curve points with no known
+discrete-log relation to g or to each other (see make_pub_params).
 """
 
 from __future__ import annotations
@@ -70,18 +70,19 @@ class PubParams(NamedTuple):
     h_table: np.ndarray
 
 
-def make_pub_params(curve: Curve, seed: int = 0) -> PubParams:
+def make_pub_params(curve: Curve) -> PubParams:
     """Generate the CRS (`CCS22/bulletinBoard.cpp:11-61`).
 
-    Host-side: the trapdoor scalars are derived from the seed and not
-    retained (the reference keeps them alive in the BulletinBoard).
+    g1 and h are hash-to-curve points (try-and-increment over SHA-256):
+    deterministic, generator-independent, and trapdoor-free -- nobody can
+    know dlog_g(g1) or dlog_g(h), so the Pedersen-style commitments are
+    computationally binding.  The reference derives them as g^rand and
+    keeps the scalars alive (its own FIXME,
+    `/root/reference/CCS22/bulletinBoard.cpp:30-33,42-45`).
     """
-    rng = np.random.default_rng(seed)
     host = curve.host
-    e1 = int(rng.integers(1, 1 << 62)) | (int(rng.integers(0, 1 << 62)) << 62)
-    e2 = int(rng.integers(1, 1 << 62)) | (int(rng.integers(0, 1 << 62)) << 62)
-    g1_h = host.mul(e1 % host.n, host.g)
-    h_h = host.mul(e2 % host.n, host.g)
+    g1_h = host.hash_to_curve(b"ccs22-crs-g1")
+    h_h = host.hash_to_curve(b"ccs22-crs-h")
     enc = ec.encode_host_points([g1_h, h_h])
     return PubParams(
         g1=jnp.asarray(enc[0]),

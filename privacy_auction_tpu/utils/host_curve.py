@@ -12,6 +12,7 @@ reference implementation (`/root/reference/SEAL/bidder.cpp:36-44` uses
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass
 
 
@@ -72,6 +73,40 @@ class HostCurve:
             A = self.add(A, A)
             k >>= 1
         return R
+
+    def sqrt_mod_p(self, v: int):
+        """Square root mod p, or None if v is a non-residue."""
+        v %= self.p
+        if self.p % 4 == 3:
+            r = pow(v, (self.p + 1) // 4, self.p)
+        else:  # Tonelli-Shanks general case (not needed for secp256k1/P-256)
+            raise NotImplementedError("p % 4 != 3")
+        return r if r * r % self.p == v else None
+
+    def hash_to_curve(self, label: bytes):
+        """Deterministic nothing-up-my-sleeve point via try-and-increment.
+
+        x = SHA256(domain || curve-name || label || counter) mod p, lifted to
+        the even-y curve point when x^3 + ax + b is a quadratic residue.
+        No party knows the discrete log of the result w.r.t. any generator --
+        this does properly what the reference marks FIXME ("should be
+        obtained by hashing g", `/root/reference/CCS22/bulletinBoard.cpp:
+        30-33,42-45`, where g1/h are g^rand with the trapdoor scalar kept
+        alive in the BulletinBoard).
+        """
+        domain = b"privacy-auction-tpu/hash-to-curve/v1"
+        for counter in range(1 << 16):
+            h = hashlib.sha256(
+                domain + b"|" + self.name.encode() + b"|" + label + b"|"
+                + counter.to_bytes(4, "big")
+            ).digest()
+            x = int.from_bytes(h, "big") % self.p
+            y = self.sqrt_mod_p(x * x * x + self.a * x + self.b)
+            if y is not None:
+                if y & 1:
+                    y = self.p - y
+                return (x, y)
+        raise RuntimeError("hash_to_curve: no point found (unreachable)")
 
     @property
     def g(self):

@@ -16,6 +16,23 @@ from privacy_auction_tpu.ops import field as F
 from privacy_auction_tpu.protocols import ccs22
 
 
+def test_crs_hash_to_curve():
+    """g1/h: deterministic, on-curve, distinct from g and each other, with
+    no dlog construction anywhere in the code (hash-to-curve)."""
+    host = CURVE.host
+    g1 = host.hash_to_curve(b"ccs22-crs-g1")
+    h = host.hash_to_curve(b"ccs22-crs-h")
+    assert g1 == host.hash_to_curve(b"ccs22-crs-g1")  # deterministic
+    assert host.is_on_curve(g1) and host.is_on_curve(h)
+    assert len({g1, h, host.g}) == 3
+    pp = ccs22.make_pub_params(CURVE)
+    assert EC.decode_host_point(CURVE, np.asarray(pp.g1)) == g1
+    assert EC.decode_host_point(CURVE, np.asarray(pp.h)) == h
+    # comb tables agree with the points
+    assert EC.decode_host_point(CURVE, pp.g1_table[0][1]) == g1
+    assert EC.decode_host_point(CURVE, pp.h_table[0][1]) == h
+
+
 def test_ot_roundtrip(rng):
     """The 2-message OT transfers M0 when alpha=0 and hides it otherwise."""
     n = 3
