@@ -331,22 +331,40 @@ def bids_to_bits(bids, c: int) -> np.ndarray:
 
 
 def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
-                trackers=None) -> AuctionResult:
+                trackers=None, tamper=None) -> AuctionResult:
     """Full SEAL auction for integer bids (host loop over the c steps).
 
     Mirrors `/root/reference/SEAL/main.cpp:46-165`: commit -> verify ->
     c x (round1 -> verify -> round2 -> verify -> round3).  `verify=False`
     mirrors ENABLE_VERIFICATION off (`SEAL/params.h:13`).
+
+    tamper: optional fault-injection hook `tamper(phase, step, pub) -> pub`
+    with phase in {"commit", "round1", "round2"} (step is None for commit).
+    It models a malicious party publishing an inconsistent message: the
+    returned value is what lands on the bulletin board (what verifiers and
+    round 3 consume); honest provers keep using their local honest values.
+    A verification failure aborts the auction immediately with
+    verified=False and max_bid=-1, mirroring the reference's exit(1)
+    (`SEAL/main.cpp:56-58`).
     """
     n = len(bids)
     bits = jnp.asarray(bids_to_bits(bids, c))
     ids = jnp.arange(n, dtype=jnp.uint32)
     keys = jax.random.split(key, 2 * c + 1)
 
+    def _board(phase, step, pub):
+        return tamper(phase, step, pub) if tamper is not None else pub
+
+    failed = AuctionResult(
+        max_bid=-1, verified=False, deciding_bits=np.zeros(c, np.uint8)
+    )
+
     commit_pub, commit_sec = _jit_commit(curve, keys[0], bits, ids)
-    ok = True
-    if verify:
-        ok = bool(np.asarray(_jit_verify_commit(curve, commit_pub, ids)).all())
+    board_commit = _board("commit", None, commit_pub)
+    if verify and not bool(
+        np.asarray(_jit_verify_commit(curve, board_commit, ids)).all()
+    ):
+        return failed
     if trackers is not None:
         trackers.account_commit(n, c)
 
@@ -358,34 +376,40 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
 
     for step in range(c):
         pub1, sec1 = _jit_round_one(curve, keys[2 * step + 1], n, ids)
-        if verify:
-            ok = ok and bool(
-                np.asarray(_jit_verify_round_one(curve, pub1, ids)).all()
-            )
+        board_pub1 = _board("round1", step, pub1)
+        if verify and not bool(
+            np.asarray(_jit_verify_round_one(curve, board_pub1, ids)).all()
+        ):
+            return failed
         d = bits[:, step] & in_race
         Y = _jit_avnet(curve, pub1.X)
+        board_Y = Y if board_pub1 is pub1 else _jit_avnet(curve, board_pub1.X)
         if not junction:
             pub2, info = _jit_round_two_s1(
                 curve, keys[2 * step + 2], sec1, pub1, Y, commit_pub,
                 commit_sec, bits[:, step], d, ids, step,
             )
-            if verify:
-                ok = ok and bool(np.asarray(_jit_verify_round_two_s1(
-                    curve, pub2, pub1, Y, commit_pub, ids, step
-                )).all())
+            board_pub2 = _board("round2", step, pub2)
+            if verify and not bool(np.asarray(_jit_verify_round_two_s1(
+                curve, board_pub2, board_pub1, board_Y, board_commit, ids,
+                step,
+            )).all()):
+                return failed
         else:
             pub2, info = _jit_round_two_s2(
                 curve, keys[2 * step + 2], sec1, pub1, Y, commit_pub,
                 commit_sec, d, prev, ids, step,
             )
-            if verify:
-                ok = ok and bool(np.asarray(_jit_verify_round_two_s2(
-                    curve, pub2, pub1, Y, commit_pub, prev, ids, step
-                )).all())
+            board_pub2 = _board("round2", step, pub2)
+            if verify and not bool(np.asarray(_jit_verify_round_two_s2(
+                curve, board_pub2, board_pub1, board_Y, board_commit, prev,
+                ids, step,
+            )).all()):
+                return failed
         if trackers is not None:
             trackers.account_step(n, stage2=junction)
 
-        step_deciding = bool(np.asarray(_jit_round_three(curve, pub2.b)))
+        step_deciding = bool(np.asarray(_jit_round_three(curve, board_pub2.b)))
         deciding[step] = step_deciding
         max_bid = (max_bid << 1) | int(step_deciding)
         if step_deciding:
@@ -393,7 +417,7 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
             junction = True
             prev = info
 
-    return AuctionResult(max_bid=max_bid, verified=ok, deciding_bits=deciding)
+    return AuctionResult(max_bid=max_bid, verified=True, deciding_bits=deciding)
 
 
 # jitted entry points (curve/step static)
