@@ -16,14 +16,6 @@ import time
 import numpy as np
 
 
-def _print_report(label: str, n: int, c: int, wall: float, data_mb: dict):
-    print(f"[{label}] n={n} bidders, c={c} bit bids")
-    print(f"[{label}] wall-clock: {wall:.3f} s")
-    for cat, mb in data_mb.items():
-        print(f"[{label}] communication ({cat}): {mb:.3f} MB")
-    print(f"[{label}] communication (total): {sum(data_mb.values()):.3f} MB")
-
-
 def run_seal(n: int, c: int, seed: int, verify: bool) -> int:
     import jax
 
@@ -35,16 +27,33 @@ def run_seal(n: int, c: int, seed: int, verify: bool) -> int:
     bids = [int(b) for b in rng.integers(0, 1 << c, n)]
     data = T.DataTracker()
     comm = T.SealCommTracker(data)
+    times = T.TimeTracker()
 
     t0 = time.perf_counter()
     res = seal.run_auction(
-        CURVE, jax.random.key(seed), bids, c, verify=verify, trackers=comm
+        CURVE, jax.random.key(seed), bids, c, verify=verify, trackers=comm,
+        times=times,
     )
     wall = time.perf_counter() - t0
 
-    cats = (T.CATEGORY_BIDDER, T.CATEGORY_VERIFIER)
-    _print_report("SEAL", n, c, wall,
-                  {cat: data.get_category_data_mb(cat) for cat in cats})
+    # Report mirrors `/root/reference/SEAL/main.cpp:128-149`.  Time
+    # semantics of the batched build: the bidder category accumulates
+    # batched-over-n prover calls (one bidder's share = total / n); one
+    # batched verify pass checks every proof once, which is exactly one
+    # reference verifier's workload (the n-fold re-verification is
+    # redundant compute with identical results), so it is NOT divided.
+    print(f"[SEAL] #bidders: n = {n}, bit length of bids: c = {c}")
+    print(f"[SEAL] Time (one bidder): "
+          f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / n:.6f} s.")
+    print(f"[SEAL] Time (one verifier): "
+          f"{times.get_category_time_seconds(T.CATEGORY_VERIFIER):.6f} s.")
+    print(f"[SEAL] Data (one bidder): "
+          f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / n:.6f} MB")
+    print(f"[SEAL] Data (one verifier): "
+          f"{data.get_category_data_mb(T.CATEGORY_VERIFIER) / n:.6f} MB")
+    print(f"[SEAL] Data (total communication, #bidders={n}, #verifiers={n}): "
+          f"{data.get_total_data_mb():.6f} MB")
+    print(f"[SEAL] wall-clock: {wall:.3f} s")
     if res.max_bid != max(bids):
         print(f"[SEAL] FAIL: maxBid {res.max_bid} != {max(bids)}",
               file=sys.stderr)
@@ -69,16 +78,34 @@ def run_ccs22(n: int, c: int, seed: int) -> int:
     data = T.DataTracker()
     comm = T.Ccs22CommTracker(data)
     comm.account_setup(n, c)
+    times = T.TimeTracker()
 
     t0 = time.perf_counter()
     res = ccs22.run_auction(
-        CURVE, jax.random.key(seed), bids, c, eval_id, trackers=comm
+        CURVE, jax.random.key(seed), bids, c, eval_id, trackers=comm,
+        times=times,
     )
     wall = time.perf_counter() - t0
 
-    cats = (T.CATEGORY_BIDDER, T.CATEGORY_EVALUATOR)
-    _print_report("CCS22", n, c, wall,
-                  {cat: data.get_category_data_mb(cat) for cat in cats})
+    # Report mirrors `/root/reference/CCS22/main.cpp:140-167`: n-1 common
+    # bidders, 1 evaluator, plus the shared bidder_and_evaluator category
+    # (CRS download) split per party.
+    shared_mb = data.get_category_data_mb(T.CATEGORY_BIDDER_AND_EVALUATOR)
+    print(f"[CCS22] #bidders: n = {n}, bit length of bids: c = {c}")
+    print(f"[CCS22] Time (one bidder): "
+          f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / max(n - 1, 1):.6f}"
+          " s.")
+    print(f"[CCS22] Time (one evaluator): "
+          f"{times.get_category_time_seconds(T.CATEGORY_EVALUATOR):.6f} s.")
+    print(f"[CCS22] Data (one bidder): "
+          f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / max(n - 1, 1) + shared_mb / n:.6f}"
+          " MB")
+    print(f"[CCS22] Data (one evaluator): "
+          f"{data.get_category_data_mb(T.CATEGORY_EVALUATOR) + shared_mb / n:.6f}"
+          " MB")
+    print(f"[CCS22] Data (total communication, #bidders={n - 1}, "
+          f"#evaluators=1): {data.get_total_data_mb():.6f} MB")
+    print(f"[CCS22] wall-clock: {wall:.3f} s")
     if res.max_bid != max(bids):
         print(f"[CCS22] FAIL: maxBid {res.max_bid} != {max(bids)}",
               file=sys.stderr)

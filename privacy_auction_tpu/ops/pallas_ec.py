@@ -397,6 +397,48 @@ def _pt_add_kernel(curve, P_ref, Q_ref, mc_ref, out_ref):
     out_ref[:] = _pt_add(curve, mc_ref[:], P_ref[:], Q_ref[:])
 
 
+def _base_mul_add_kernel(curve, P_ref, dt_ref, ds_ref, g0f_ref, mc_ref,
+                         out_ref):
+    """Fused g^s * P^t: one doubling chain serves both scalars.
+
+    Per window (MSB->LSB): 4 doublings, one add of the per-lane P-table
+    entry (select tree), one add of the shared window-0 generator table
+    entry (exact one-hot f32 MXU matmul, as in _mul_base_kernel).  One
+    VMEM pass instead of the previous three pallas_calls with HBM
+    round-trips between them (VERDICT r2 item 5).
+    """
+    B = P_ref.shape[-1]
+    mc = mc_ref[:]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TSIZE, B), 0)
+
+    def inner(table_ref):
+        _fill_table(curve, mc, table_ref, P_ref[:], B)
+        table = table_ref[:]
+        g0 = g0f_ref[:]                                   # (48, 16) f32
+
+        def body(i, acc):
+            w = WINDOWS - 1 - i
+            acc = _dbl4(curve, mc, acc)
+            dig_s = ds_ref[pl.ds(w, 1), :]                # (1, B)
+            onehot = (lane_iota == dig_s.astype(jnp.int32)).astype(
+                jnp.float32
+            )
+            ent_f = jax.lax.dot_general(
+                g0, onehot, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )                                             # (48, B)
+            eg = ent_f.astype(jnp.int32).astype(U32).reshape(3, LIMBS, B)
+            acc = _pt_add(curve, mc, acc, eg)
+            return _pt_add(
+                curve, mc, acc, _entry_select(table, _dig_row(dt_ref, w))
+            )
+
+        out_ref[:] = jax.lax.fori_loop(0, WINDOWS, body, _pt_inf(B))
+
+    pl.run_scoped(inner, pltpu.VMEM((TSIZE, 3, LIMBS, B), U32))
+
+
 def _mul_base_kernel(curve, dk_ref, combf_ref, mc_ref, out_ref):
     """k*G via the comb table: entry lookup as a one-hot MXU matmul.
 
@@ -480,6 +522,50 @@ def _mc(curve):
     return jnp.asarray(_mod_const_array(curve.fp.modulus))
 
 
+@functools.lru_cache(maxsize=None)
+def _cached_grid_fn(kernel, curve, grid, B, total, arg_shapes, interpret):
+    """Memoized jitted wrapper around one pallas_call configuration.
+
+    Tracing a kernel to a jaxpr costs SECONDS (the fused ladders are ~10^4
+    primitives); without memoization every call site of every outer jit
+    re-traces it.  Wrapping the pallas_call in its own stable jit function
+    makes nested tracing hit jax's pjit trace cache, so each (kernel, block
+    config) traces once per process.
+    """
+    specs = []
+    for shape in arg_shapes:
+        nd = len(shape)
+        if shape[-1] == total:  # lane-blocked input
+            blk = shape[:-1] + (B,)
+
+            def imap(i, nd=nd):
+                return (0,) * (nd - 1) + (i,)
+
+            specs.append(pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM))
+        else:  # broadcast constant input
+
+            def cmap(i, nd=nd):
+                return (0,) * nd
+
+            specs.append(pl.BlockSpec(shape, cmap, memory_space=pltpu.VMEM))
+
+    def fn(*args):
+        return pl.pallas_call(
+            functools.partial(kernel, curve),
+            grid=(grid,),
+            in_specs=specs,
+            out_specs=pl.BlockSpec(
+                (3, LIMBS, B),
+                lambda i: (0, 0, i),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((3, LIMBS, total), U32),
+            interpret=interpret,
+        )(*args)
+
+    return jax.jit(fn)
+
+
 def _grid_call(kernel, curve, n_lanes, inputs, in_extra, const_inputs=()):
     """Run `kernel` over lane blocks.  inputs: list of (array, trailing-dims
     already limb-major with lane axis last); const_inputs broadcast to every
@@ -487,43 +573,24 @@ def _grid_call(kernel, curve, n_lanes, inputs, in_extra, const_inputs=()):
     B = min(_pad_lanes(n_lanes), LANES)
     total = ((n_lanes + B - 1) // B) * B
     grid = total // B
-    specs = []
     args = []
     for x in inputs:
         lane_pad = total - x.shape[-1]
         if lane_pad:
             x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, lane_pad)])
         args.append(x)
-        blk = x.shape[:-1] + (B,)
-        nd = x.ndim
-
-        def imap(i, nd=nd):
-            return (0,) * (nd - 1) + (i,)
-
-        specs.append(pl.BlockSpec(blk, imap, memory_space=pltpu.VMEM))
     for cx in const_inputs:
-        args.append(cx)
-        nd = cx.ndim
-
-        def cmap(i, nd=nd):
-            return (0,) * nd
-
-        specs.append(
-            pl.BlockSpec(cx.shape, cmap, memory_space=pltpu.VMEM)
+        # a constant whose trailing dim happens to equal `total` would be
+        # misclassified as lane-blocked in the cached spec builder
+        assert cx.shape[-1] != total or cx.ndim == 0, (
+            "broadcast const input collides with the lane-block width"
         )
-    out = pl.pallas_call(
-        functools.partial(kernel, curve),
-        grid=(grid,),
-        in_specs=specs,
-        out_specs=pl.BlockSpec(
-            (3, LIMBS, B),
-            lambda i: (0, 0, i),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3, LIMBS, total), U32),
-        interpret=_INTERPRET,
-    )(*args)
-    return out
+        args.append(cx)
+    fn = _cached_grid_fn(
+        kernel, curve, grid, B, total,
+        tuple(a.shape for a in args), _INTERPRET,
+    )
+    return fn(*args)
 
 
 def scalar_mul(curve, P, k):
@@ -557,27 +624,27 @@ def dual_mul(curve, P, kp, Q, kq):
     return _from_rows_pt(out, n).reshape(batch + (3, LIMBS))
 
 
-def base_mul_add(curve, s, P, t):
-    """g^s * P^t = mul_base(s) + scalar_mul(P, t) + one fused add.
+@functools.lru_cache(maxsize=None)
+def _g0_table_f32(curve):
+    """Window-0 comb table [0..15]*G as (48, 16) f32 (limb-coordinate x
+    entry digit), exact in f32 (16-bit limbs)."""
+    t = np.asarray(curve.comb_table[0], dtype=np.float32)  # (16, 3, 16)
+    return jnp.asarray(np.moveaxis(t.reshape(TSIZE, 3 * LIMBS), 0, 1))
 
-    A shared doubling chain buys nothing here: the comb G-side has no
-    doublings to share, so two specialized kernels + one add is the same
-    point-op count with far simpler kernels.
-    """
+
+def base_mul_add(curve, s, P, t):
+    """g^s * P^t in ONE fused kernel: the doubling chain serves both the
+    per-lane P window table and the shared generator window-0 table."""
     batch = jnp.broadcast_shapes(P.shape[:-2], s.shape[:-1], t.shape[:-1])
-    gs = mul_base(curve, jnp.broadcast_to(s, batch + (LIMBS,)))
-    pt = scalar_mul(
-        curve,
-        jnp.broadcast_to(P, batch + (3, LIMBS)),
-        jnp.broadcast_to(t, batch + (LIMBS,)),
-    )
-    gf, _ = _flatten(gs, 2)
-    pf, _ = _flatten(pt, 2)
-    n = gf.shape[0]
+    Pf, _ = _flatten(jnp.broadcast_to(P, batch + (3, LIMBS)), 2)
+    sf, _ = _flatten(jnp.broadcast_to(s, batch + (LIMBS,)), 1)
+    tf, _ = _flatten(jnp.broadcast_to(t, batch + (LIMBS,)), 1)
+    n = Pf.shape[0]
     out = _grid_call(
-        _pt_add_kernel, curve, n,
-        [_to_rows_pt(gf, n), _to_rows_pt(pf, n)], (2, 2),
-        const_inputs=(_mc(curve),),
+        _base_mul_add_kernel, curve, n,
+        [_to_rows_pt(Pf, n), _to_digit_rows(tf, n), _to_digit_rows(sf, n)],
+        (2, 1, 1),
+        const_inputs=(_g0_table_f32(curve), _mc(curve)),
     )
     return _from_rows_pt(out, n).reshape(batch + (3, LIMBS))
 

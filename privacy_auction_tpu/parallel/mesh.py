@@ -40,6 +40,14 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"requested a {n_devices}-device mesh but only "
+                    f"{len(devices)} JAX devices are available "
+                    f"(platform {devices[0].platform}); for CPU simulation "
+                    "set jax.config.update('jax_platforms', 'cpu') and "
+                    "XLA_FLAGS=--xla_force_host_platform_device_count=N"
+                )
             devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (BIDDER_AXIS,))
 

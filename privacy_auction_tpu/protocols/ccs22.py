@@ -301,35 +301,85 @@ def _jit_step(curve: Curve, eval_id: int):
 
 
 def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
-                trackers=None) -> AuctionResult:
+                trackers=None, times=None, mesh=None) -> AuctionResult:
     """Full CCS22 auction (`CCS22/main.cpp:16-199`): host loop over steps.
 
     bids: list of n ints; the evaluator (lane eval_id) is also a bidder.
+
+    times: optional `utils.trackers.TimeTracker`.  When given, each step
+    runs the same production phase functions dispatched separately so
+    device time can be attributed per role (bidder: setup / BESEncode /
+    OTSend; evaluator: OTReceive1 / OTReceive2 -- the reference's
+    category split, `CCS22/main.cpp:140-167`).  The default path fuses
+    the whole step into one jit call.
+
+    mesh: optional `jax.sharding.Mesh` with a "bidders" axis: every
+    party-axis array (step keys, OT lanes, betas) is sharded over it; XLA
+    inserts ICI collectives for the AV-net scan, the OT-recovery sum and
+    the evaluator-lane gathers.  Requires n % mesh size == 0.
     """
     from .seal import bids_to_bits
+    from ..utils.trackers import CATEGORY_BIDDER, CATEGORY_EVALUATOR
 
     n = len(bids)
     bits = jnp.asarray(bids_to_bits(bids, c))
     bid_scalars = jnp.asarray(F.ints_to_limbs([b % curve.host.n for b in bids]))
+    if mesh is not None:
+        from ..parallel import mesh as M
+
+        if n % mesh.devices.size:
+            raise ValueError(
+                f"n={n} parties not divisible by mesh size {mesh.devices.size}"
+            )
+        bits, bid_scalars = M.shard_bidders(mesh, (bits, bid_scalars))
+
+    def _timed(category, fn, *a, **kw):
+        if times is None:
+            return fn(*a, **kw)
+        times.start(category)
+        out = fn(*a, **kw)
+        # hard sync via host transfer (axon: block_until_ready is unreliable)
+        np.asarray(jax.tree.leaves(out)[0])
+        times.stop(category)
+        return out
 
     keys = jax.random.split(key, 2 * c + 2)
     beta = F.random(curve.fn, keys[0], (n, c))  # evaluator OT randomness
-    _pub, sec = _jit_setup(curve, keys[1], pp_or_make(curve), bid_scalars,
-                           c, eval_id, beta)
+    in_race = jnp.ones((n,), jnp.uint32)
+    if mesh is not None:
+        beta, in_race = M.shard_bidders(mesh, (beta, in_race))
+        keys = M.replicate(mesh, keys)
+    _pub, sec = _timed(
+        CATEGORY_BIDDER, _jit_setup, curve, keys[1], pp_or_make(curve),
+        bid_scalars, c, eval_id, beta,
+    )
     pp = pp_or_make(curve)
 
-    in_race = jnp.ones((n,), jnp.uint32)
     max_bid = 0
     deciding = np.zeros(c, np.uint8)
     step_fn = _jit_step(curve, eval_id)
 
     for step in range(c):
-        announced, in_race, _d = step_fn(
-            pp, keys[2 * step + 2], keys[2 * step + 3],
-            _pub.X[:, step], sec.x[:, step], sec.r[:, step],
-            sec.s[:, step], sec.t[:, step], beta[:, step],
-            bits[:, step], in_race,
-        )
+        if times is None:
+            announced, in_race, _d = step_fn(
+                pp, keys[2 * step + 2], keys[2 * step + 3],
+                _pub.X[:, step], sec.x[:, step], sec.r[:, step],
+                sec.s[:, step], sec.t[:, step], beta[:, step],
+                bits[:, step], in_race,
+            )
+        else:
+            # role-metered path: same phase functions, separate dispatches
+            d = bits[:, step] & in_race
+            B = _timed(CATEGORY_BIDDER, _jit_bes, curve,
+                       _pub.X[:, step], sec.x[:, step], sec.r[:, step], d)
+            r1 = _timed(CATEGORY_EVALUATOR, _jit_otr1, curve,
+                        keys[2 * step + 2], pp, beta[:, step], d[eval_id])
+            ots = _timed(CATEGORY_BIDDER, _jit_ots, curve,
+                         keys[2 * step + 3], pp, r1, B,
+                         sec.s[:, step], sec.t[:, step])
+            announced = _timed(CATEGORY_EVALUATOR, _jit_otr2, curve,
+                               ots, beta[:, step], B, d, eval_id)
+            in_race = update_race(in_race, d, announced)
         bit = bool(np.asarray(announced))
         deciding[step] = bit
         max_bid = (max_bid << 1) | int(bit)
@@ -345,3 +395,8 @@ def pp_or_make(curve: Curve) -> PubParams:
 
 
 _jit_setup = jax.jit(setup, static_argnums=(0, 4, 5))
+# per-phase entry points for the role-metered driver path
+_jit_bes = jax.jit(bes_encode, static_argnums=0)
+_jit_otr1 = jax.jit(ot_receive1, static_argnums=0)
+_jit_ots = jax.jit(ot_send, static_argnums=0)
+_jit_otr2 = jax.jit(ot_receive2, static_argnums=(0, 5))

@@ -331,7 +331,8 @@ def bids_to_bits(bids, c: int) -> np.ndarray:
 
 
 def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
-                trackers=None, tamper=None) -> AuctionResult:
+                trackers=None, tamper=None, times=None,
+                mesh=None) -> AuctionResult:
     """Full SEAL auction for integer bids (host loop over the c steps).
 
     Mirrors `/root/reference/SEAL/main.cpp:46-165`: commit -> verify ->
@@ -346,11 +347,50 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
     A verification failure aborts the auction immediately with
     verified=False and max_bid=-1, mirroring the reference's exit(1)
     (`SEAL/main.cpp:56-58`).
+
+    times: optional `utils.trackers.TimeTracker`.  Prover phases accrue to
+    the "bidder" category (one batched call computes all n bidders, so
+    per-bidder time = accumulated / n); verify phases accrue to "verifier"
+    (one batched pass checks each proof once = exactly one reference
+    verifier's workload, `SEAL/main.cpp:54-107`, so per-verifier time =
+    accumulated as-is and total across the n redundant verifiers = n x).
+
+    mesh: optional `jax.sharding.Mesh` with a "bidders" axis
+    (`parallel.mesh.make_mesh`).  All (n, ...) bidder-axis inputs are
+    sharded over it; XLA propagates the sharding through every phase and
+    inserts ICI collectives only where the protocol genuinely
+    communicates (the AV-net prefix scan and the round-3 veto sum).
+    Requires n to be a multiple of the mesh size.  Results are
+    bit-identical to the unsharded run (the reduction trees are fixed by
+    the program, not the partitioning).
     """
+    from ..utils.trackers import CATEGORY_BIDDER, CATEGORY_VERIFIER
+
     n = len(bids)
     bits = jnp.asarray(bids_to_bits(bids, c))
     ids = jnp.arange(n, dtype=jnp.uint32)
     keys = jax.random.split(key, 2 * c + 1)
+    if mesh is not None:
+        from ..parallel import mesh as M
+
+        n_dev = mesh.devices.size
+        if n % n_dev:
+            raise ValueError(
+                f"n={n} bidders not divisible by mesh size {n_dev}"
+            )
+        bits, ids = M.shard_bidders(mesh, (bits, ids))
+        keys = M.replicate(mesh, keys)
+
+    def _timed(category, fn, *a, **kw):
+        if times is None:
+            return fn(*a, **kw)
+        times.start(category)
+        out = fn(*a, **kw)
+        # hard sync via host transfer of one leaf: on the experimental axon
+        # platform block_until_ready can return before execution completes
+        np.asarray(jax.tree.leaves(out)[0])
+        times.stop(category)
+        return out
 
     def _board(phase, step, pub):
         return tamper(phase, step, pub) if tamper is not None else pub
@@ -359,11 +399,13 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
         max_bid=-1, verified=False, deciding_bits=np.zeros(c, np.uint8)
     )
 
-    commit_pub, commit_sec = _jit_commit(curve, keys[0], bits, ids)
+    commit_pub, commit_sec = _timed(
+        CATEGORY_BIDDER, _jit_commit, curve, keys[0], bits, ids
+    )
     board_commit = _board("commit", None, commit_pub)
-    if verify and not bool(
-        np.asarray(_jit_verify_commit(curve, board_commit, ids)).all()
-    ):
+    if verify and not bool(np.asarray(_timed(
+        CATEGORY_VERIFIER, _jit_verify_commit, curve, board_commit, ids
+    )).all()):
         return failed
     if trackers is not None:
         trackers.account_commit(n, c)
@@ -371,37 +413,47 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
     in_race = jnp.ones((n,), jnp.uint32)
     junction = False
     prev = _dummy_step_info(n)
+    if mesh is not None:
+        from ..parallel import mesh as M
+
+        in_race, prev = M.shard_bidders(mesh, (in_race, prev))
     max_bid = 0
     deciding = np.zeros(c, np.uint8)
 
     for step in range(c):
-        pub1, sec1 = _jit_round_one(curve, keys[2 * step + 1], n, ids)
+        pub1, sec1 = _timed(
+            CATEGORY_BIDDER, _jit_round_one, curve, keys[2 * step + 1], n, ids
+        )
         board_pub1 = _board("round1", step, pub1)
-        if verify and not bool(
-            np.asarray(_jit_verify_round_one(curve, board_pub1, ids)).all()
-        ):
+        if verify and not bool(np.asarray(_timed(
+            CATEGORY_VERIFIER, _jit_verify_round_one, curve, board_pub1, ids
+        )).all()):
             return failed
         d = bits[:, step] & in_race
-        Y = _jit_avnet(curve, pub1.X)
+        Y = _timed(CATEGORY_BIDDER, _jit_avnet, curve, pub1.X)
         board_Y = Y if board_pub1 is pub1 else _jit_avnet(curve, board_pub1.X)
         if not junction:
-            pub2, info = _jit_round_two_s1(
+            pub2, info = _timed(
+                CATEGORY_BIDDER, _jit_round_two_s1,
                 curve, keys[2 * step + 2], sec1, pub1, Y, commit_pub,
                 commit_sec, bits[:, step], d, ids, step,
             )
             board_pub2 = _board("round2", step, pub2)
-            if verify and not bool(np.asarray(_jit_verify_round_two_s1(
+            if verify and not bool(np.asarray(_timed(
+                CATEGORY_VERIFIER, _jit_verify_round_two_s1,
                 curve, board_pub2, board_pub1, board_Y, board_commit, ids,
                 step,
             )).all()):
                 return failed
         else:
-            pub2, info = _jit_round_two_s2(
+            pub2, info = _timed(
+                CATEGORY_BIDDER, _jit_round_two_s2,
                 curve, keys[2 * step + 2], sec1, pub1, Y, commit_pub,
                 commit_sec, d, prev, ids, step,
             )
             board_pub2 = _board("round2", step, pub2)
-            if verify and not bool(np.asarray(_jit_verify_round_two_s2(
+            if verify and not bool(np.asarray(_timed(
+                CATEGORY_VERIFIER, _jit_verify_round_two_s2,
                 curve, board_pub2, board_pub1, board_Y, board_commit, prev,
                 ids, step,
             )).all()):
@@ -409,7 +461,9 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
         if trackers is not None:
             trackers.account_step(n, stage2=junction)
 
-        step_deciding = bool(np.asarray(_jit_round_three(curve, board_pub2.b)))
+        step_deciding = bool(np.asarray(_timed(
+            CATEGORY_BIDDER, _jit_round_three, curve, board_pub2.b
+        )))
         deciding[step] = step_deciding
         max_bid = (max_bid << 1) | int(step_deciding)
         if step_deciding:
@@ -418,6 +472,56 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
             prev = info
 
     return AuctionResult(max_bid=max_bid, verified=True, deciding_bits=deciding)
+
+
+# --------------------------------------------------------------------------
+# whole-step compositions (jittable; used by the single-chip compile check
+# and anywhere a full step must live in one XLA program)
+# --------------------------------------------------------------------------
+
+def step_stage1(curve: Curve, key, bits_step, in_race, ids):
+    """One full pre-junction auction step: commit + round1 + round2/Stage1 +
+    all verifications + round3, as a single jittable computation.
+
+    Returns (deciding, all_ok, new_race, StepInfo, CommitmentPub,
+    CommitmentSec).  Composes the same phase functions the host driver
+    dispatches (`run_auction`).
+    """
+    n = bits_step.shape[0]
+    kc, k1, k2 = jax.random.split(key, 3)
+    commit_pub, commit_sec = commit(curve, kc, bits_step[:, None], ids)
+    ok_c = verify_commit(curve, commit_pub, ids)
+    pub1, sec1 = round_one(curve, k1, n, ids)
+    ok_1 = verify_round_one(curve, pub1, ids)
+    d = bits_step & in_race
+    Y = avnet_keys(curve, pub1.X)
+    pub2, info = round_two_stage1(
+        curve, k2, sec1, pub1, Y, commit_pub, commit_sec, bits_step, d, ids, 0
+    )
+    ok_2 = verify_round_two_stage1(curve, pub2, pub1, Y, commit_pub, ids, 0)
+    deciding = round_three(curve, pub2.b)
+    all_ok = ok_c.all() & ok_1.all() & ok_2.all()
+    new_race = jnp.where(deciding, in_race & d, in_race)
+    return deciding, all_ok, new_race, info, commit_pub, commit_sec
+
+
+def step_stage2(curve: Curve, key, bits_step, in_race, ids, prev,
+                commit_pub, commit_sec):
+    """One full post-junction auction step (Stage2 NIZK), jittable."""
+    n = bits_step.shape[0]
+    k1, k2 = jax.random.split(key)
+    pub1, sec1 = round_one(curve, k1, n, ids)
+    ok_1 = verify_round_one(curve, pub1, ids)
+    d = bits_step & in_race
+    Y = avnet_keys(curve, pub1.X)
+    pub2, info = round_two_stage2(
+        curve, k2, sec1, pub1, Y, commit_pub, commit_sec, d, prev, ids, 0
+    )
+    ok_2 = verify_round_two_stage2(
+        curve, pub2, pub1, Y, commit_pub, prev, ids, 0
+    )
+    deciding = round_three(curve, pub2.b)
+    return deciding, ok_1.all() & ok_2.all()
 
 
 # jitted entry points (curve/step static)

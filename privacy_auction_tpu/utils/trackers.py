@@ -29,6 +29,14 @@ SCALAR_BYTES = 32  # canonical BE width (`SEAL/bulletinBoard.cpp:283-288`)
 CATEGORY_BIDDER = "bidder"
 CATEGORY_VERIFIER = "verifier"
 CATEGORY_EVALUATOR = "evaluator"
+# CCS22 costs shared by every party, e.g. CRS download
+# (`CCS22/params.h:11`, `CCS22/bulletinBoard.cpp:63-75`)
+CATEGORY_BIDDER_AND_EVALUATOR = "bidder_and_evaluator"
+
+# CRS transfer per party (`CCS22/bulletinBoard.cpp:63-75,184-209`):
+# curve params p (32 B) + a (0 B for a=0) + b (1 B) + 3 ints (12 B),
+# points g, g1, h (65 B each), group order (32 B).
+CCS22_CRS_BYTES = (32 + 0 + 1 + 12) + 3 * 65 + 32
 
 
 class TimeTracker:
@@ -168,6 +176,9 @@ class Ccs22CommTracker:
         self.data = data or DataTracker.get_instance()
 
     def account_setup(self, n: int, c: int):
+        # CRS distribution: every party downloads the group description
+        # (`CCS22/bulletinBoard.cpp:63-75`, metered whole-group)
+        self.data.add_data(CATEGORY_BIDDER_AND_EVALUATOR, n * CCS22_CRS_BYTES)
         per_party = _msg(1 + c, 0)  # Com + c public keys
         self.data.add_data(CATEGORY_BIDDER, n * per_party)
 

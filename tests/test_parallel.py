@@ -56,3 +56,42 @@ def test_pad_bidders():
     assert M.pad_bidders(5, 8) == 8
     assert M.pad_bidders(8, 8) == 8
     assert M.pad_bidders(9, 8) == 16
+
+
+def test_seal_auction_sharded_matches_unsharded():
+    """Production run_auction over the mesh == single-device run, bit-exact
+    (VERDICT r2 item 2: the mesh is the production path)."""
+    from privacy_auction_tpu.protocols import seal
+
+    mesh = M.make_mesh()
+    bids = [5, 3, 7, 2, 7, 0, 1, 6]  # n=8 = mesh size
+    key = jax.random.key(42)
+    want = seal.run_auction(CURVE, key, bids, 3, verify=True)
+    got = seal.run_auction(CURVE, key, bids, 3, verify=True, mesh=mesh)
+    assert want.verified and got.verified
+    assert got.max_bid == want.max_bid == 7
+    np.testing.assert_array_equal(got.deciding_bits, want.deciding_bits)
+
+
+def test_ccs22_auction_sharded_matches_unsharded():
+    from privacy_auction_tpu.protocols import ccs22
+
+    mesh = M.make_mesh()
+    bids = [4, 9, 1, 11, 0, 3, 8, 2]
+    key = jax.random.key(7)
+    want = ccs22.run_auction(CURVE, key, bids, 4, eval_id=2)
+    got = ccs22.run_auction(CURVE, key, bids, 4, eval_id=2, mesh=mesh)
+    assert got.max_bid == want.max_bid == 11
+    np.testing.assert_array_equal(got.deciding_bits, want.deciding_bits)
+
+
+def test_seal_mesh_indivisible_raises():
+    from privacy_auction_tpu.protocols import seal
+
+    mesh = M.make_mesh()
+    try:
+        seal.run_auction(CURVE, jax.random.key(0), [1, 2, 3], 2, mesh=mesh)
+    except ValueError as e:
+        assert "divisible" in str(e)
+    else:
+        raise AssertionError("expected ValueError for n % mesh size != 0")

@@ -48,3 +48,45 @@ def test_seal_comm_model():
 def test_singletons():
     assert T.TimeTracker.get_instance() is T.TimeTracker.get_instance()
     assert T.DataTracker.get_instance() is T.DataTracker.get_instance()
+
+
+def test_ccs22_crs_metered():
+    d = T.DataTracker()
+    c = T.Ccs22CommTracker(d)
+    c.account_setup(n=4, c=8)
+    # CRS download (group + g,g1,h + order) per party
+    # (`CCS22/bulletinBoard.cpp:63-75`)
+    assert d.get_category_data_mb(T.CATEGORY_BIDDER_AND_EVALUATOR) == (
+        4 * T.CCS22_CRS_BYTES / 1e6
+    )
+
+
+def test_seal_run_auction_time_metering():
+    """Per-role device time lands in the tracker (VERDICT r2 item 4)."""
+    import jax
+
+    from privacy_auction_tpu.curves import SECP256K1 as CURVE
+    from privacy_auction_tpu.protocols import seal
+
+    times = T.TimeTracker()
+    res = seal.run_auction(
+        CURVE, jax.random.key(3), [2, 1, 3, 0], 2, verify=True, times=times
+    )
+    assert res.verified and res.max_bid == 3
+    assert times.get_category_time_seconds(T.CATEGORY_BIDDER) > 0
+    assert times.get_category_time_seconds(T.CATEGORY_VERIFIER) > 0
+
+
+def test_ccs22_run_auction_time_metering():
+    import jax
+
+    from privacy_auction_tpu.curves import SECP256K1 as CURVE
+    from privacy_auction_tpu.protocols import ccs22
+
+    times = T.TimeTracker()
+    res = ccs22.run_auction(
+        CURVE, jax.random.key(4), [2, 1, 3, 0], 2, eval_id=0, times=times
+    )
+    assert res.max_bid == 3
+    assert times.get_category_time_seconds(T.CATEGORY_BIDDER) > 0
+    assert times.get_category_time_seconds(T.CATEGORY_EVALUATOR) > 0
