@@ -16,7 +16,8 @@ import time
 import numpy as np
 
 
-def run_seal(n: int, c: int, seed: int, verify: bool) -> int:
+def run_seal(n: int, c: int, seed: int, verify: bool,
+             warmup: bool = True) -> int:
     import jax
 
     from .curves import SECP256K1 as CURVE
@@ -29,6 +30,15 @@ def run_seal(n: int, c: int, seed: int, verify: bool) -> int:
     comm = T.SealCommTracker(data)
     times = T.TimeTracker()
 
+    if warmup:
+        # Untimed warm-up pays JIT trace+compile so the reported per-role
+        # figures measure protocol compute, as the reference's do (its
+        # OpenSSL path has no compile step); --cold skips it.  A scratch
+        # TimeTracker selects the same role-metered code path (its phase
+        # dispatch differs from the fused path, so it compiles its own
+        # programs).
+        seal.run_auction(CURVE, jax.random.key(seed + 1), bids, c,
+                         verify=verify, times=T.TimeTracker())
     t0 = time.perf_counter()
     res = seal.run_auction(
         CURVE, jax.random.key(seed), bids, c, verify=verify, trackers=comm,
@@ -65,7 +75,7 @@ def run_seal(n: int, c: int, seed: int, verify: bool) -> int:
     return 0
 
 
-def run_ccs22(n: int, c: int, seed: int) -> int:
+def run_ccs22(n: int, c: int, seed: int, warmup: bool = True) -> int:
     import jax
 
     from .curves import SECP256K1 as CURVE
@@ -80,6 +90,11 @@ def run_ccs22(n: int, c: int, seed: int) -> int:
     comm.account_setup(n, c)
     times = T.TimeTracker()
 
+    if warmup:
+        # Untimed warm-up: exclude JIT compile from the per-role report
+        # (see run_seal; scratch tracker = same role-metered code path).
+        ccs22.run_auction(CURVE, jax.random.key(seed + 1), bids, c, eval_id,
+                          times=T.TimeTracker())
     t0 = time.perf_counter()
     res = ccs22.run_auction(
         CURVE, jax.random.key(seed), bids, c, eval_id, trackers=comm,
@@ -122,6 +137,9 @@ def main(argv=None) -> int:
         p.add_argument("n", type=int, help="number of bidders")
         p.add_argument("c", type=int, help="bid bit-length")
         p.add_argument("--seed", type=int, default=None)
+        p.add_argument("--cold", action="store_true",
+                       help="skip the untimed warm-up run (reported "
+                            "per-role times then include JIT compile)")
         if name == "seal":
             p.add_argument("--no-verify", action="store_true",
                            help="disable NIZK verification "
@@ -129,8 +147,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     seed = args.seed if args.seed is not None else int(time.time()) & 0xFFFF
     if args.protocol == "seal":
-        return run_seal(args.n, args.c, seed, not args.no_verify)
-    return run_ccs22(args.n, args.c, seed)
+        return run_seal(args.n, args.c, seed, not args.no_verify,
+                        warmup=not args.cold)
+    return run_ccs22(args.n, args.c, seed, warmup=not args.cold)
 
 
 if __name__ == "__main__":

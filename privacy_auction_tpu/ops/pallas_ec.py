@@ -581,10 +581,12 @@ def _grid_call(kernel, curve, n_lanes, inputs, in_extra, const_inputs=()):
         args.append(x)
     for cx in const_inputs:
         # a constant whose trailing dim happens to equal `total` would be
-        # misclassified as lane-blocked in the cached spec builder
-        assert cx.shape[-1] != total or cx.ndim == 0, (
-            "broadcast const input collides with the lane-block width"
-        )
+        # misclassified as lane-blocked in the cached spec builder; must
+        # survive `python -O`, so not an assert
+        if cx.ndim and cx.shape[-1] == total:
+            raise ValueError(
+                "broadcast const input collides with the lane-block width"
+            )
         args.append(cx)
     fn = _cached_grid_fn(
         kernel, curve, grid, B, total,
@@ -625,11 +627,17 @@ def dual_mul(curve, P, kp, Q, kq):
 
 
 @functools.lru_cache(maxsize=None)
-def _g0_table_f32(curve):
+def _g0_table_np(curve) -> np.ndarray:
     """Window-0 comb table [0..15]*G as (48, 16) f32 (limb-coordinate x
-    entry digit), exact in f32 (16-bit limbs)."""
+    entry digit), exact in f32 (16-bit limbs).  Cached as NUMPY: caching a
+    jnp array would capture a tracer when first materialized inside a jit
+    trace and leak it into every later trace (BENCH_r03 failure)."""
     t = np.asarray(curve.comb_table[0], dtype=np.float32)  # (16, 3, 16)
-    return jnp.asarray(np.moveaxis(t.reshape(TSIZE, 3 * LIMBS), 0, 1))
+    return np.ascontiguousarray(np.moveaxis(t.reshape(TSIZE, 3 * LIMBS), 0, 1))
+
+
+def _g0_table_f32(curve):
+    return jnp.asarray(_g0_table_np(curve))
 
 
 def base_mul_add(curve, s, P, t):

@@ -86,6 +86,12 @@ class TimeTracker:
 
         return _Ctx()
 
+    def add_time(self, category: str, seconds: float):
+        """Direct adjustment (may be negative): used to re-attribute a
+        share of a batched dispatch to another role category."""
+        with self._lock:
+            self._acc[category] += seconds
+
     def get_category_time_seconds(self, category: str) -> float:
         with self._lock:
             return self._acc[category]

@@ -40,7 +40,14 @@ try:
         _boot = f.read().strip()
 except OSError:
     _boot = "noboot"
-jax.config.update("jax_compilation_cache_dir", f"/tmp/pa_tpu_jax_cache_{_boot}")
+# Per-xdist-worker cache subdirectory: two workers sharing one cache dir
+# have segfaulted inside the cache (zstandard) under concurrent
+# read/write; loadfile distribution keeps each file on a stable worker,
+# so per-worker caches still get warm across runs.
+_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
+jax.config.update(
+    "jax_compilation_cache_dir", f"/tmp/pa_tpu_jax_cache_{_boot}_{_worker}"
+)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
