@@ -39,6 +39,27 @@ class Curve:
     def __eq__(self, other):
         return isinstance(other, Curve) and self.name == other.name
 
+    @property
+    def a_is_zero(self) -> bool:
+        """a == 0 selects the specialized RCB16 Alg 7/9 formulas and the
+        Pallas fast path; otherwise the generic Alg 1/3 path runs."""
+        return self.host.a == 0
+
+    @functools.cached_property
+    def a_limbs(self) -> np.ndarray:
+        """(16,) curve coefficient a as a field element (generic path)."""
+        return F.int_to_limbs(self.host.a % self.host.p)
+
+    @functools.cached_property
+    def b_limbs(self) -> np.ndarray:
+        return F.int_to_limbs(self.host.b % self.host.p)
+
+    @functools.cached_property
+    def b3_limbs(self) -> np.ndarray:
+        """(16,) 3*b mod p as a full field element (generic path; P-256's
+        b is full-width so the a=0 small-constant shortcut cannot apply)."""
+        return F.int_to_limbs(3 * self.host.b % self.host.p)
+
     @functools.cached_property
     def generator_affine(self) -> np.ndarray:
         """(2, 16) limbs: generator (x, y)."""
@@ -86,16 +107,12 @@ def _encode_host_point(P) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def get_curve(name: str = "secp256k1") -> Curve:
     host = HOST_CURVES[name]
-    if host.a != 0:
-        raise NotImplementedError(
-            f"curve {name}: only a=0 curves supported by the fast path so far"
-        )
     return Curve(
         name=name,
         host=host,
         fp=F.make_spec(f"{name}_p", host.p),
         fn=F.make_spec(f"{name}_n", host.n),
-        b3=3 * host.b,
+        b3=3 * host.b if host.a == 0 else 0,
     )
 
 

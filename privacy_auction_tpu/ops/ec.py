@@ -46,6 +46,13 @@ def _use_pallas() -> bool:
         return False
 
 
+def _pallas_ok(curve: Curve) -> bool:
+    """The fused VMEM ladders cover a=0 curves with fold-friendly base
+    fields (secp256k1); other curves (P-256: a != 0, Barrett modulus) run
+    the pure-XLA path."""
+    return _use_pallas() and curve.a_is_zero and F._fast_k0(curve.fp) is not None
+
+
 # --------------------------------------------------------------------------
 # construction / predicates
 # --------------------------------------------------------------------------
@@ -90,11 +97,114 @@ def eq(curve: Curve, P, Q):
 
 
 # --------------------------------------------------------------------------
-# group law (complete formulas, a = 0)
+# group law (complete formulas)
 # --------------------------------------------------------------------------
 
+def _add_generic(curve: Curve, P, Q):
+    """Complete projective addition for arbitrary a (RCB16 Algorithm 1).
+
+    12 field muls + 3 a-muls + 2 b3-muls, grouped into four batched mul
+    dispatches.  a and 3b are full field constants (P-256's are
+    full-width, so the a=0 small-constant shortcut cannot apply).
+    """
+    fp = curve.fp
+    a = F.const(curve.a_limbs)
+    b3 = F.const(curve.b3_limbs)
+    X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+    X2, Y2, Z2 = Q[..., 0, :], Q[..., 1, :], Q[..., 2, :]
+
+    pre = F.add(
+        fp,
+        jnp.stack([X1, X2, Y1, Y2, X1, X2]),
+        jnp.stack([Y1, Y2, Z1, Z2, Z1, Z2]),
+    )
+    g1 = F.mul(
+        fp,
+        jnp.stack([X1, Y1, Z1, pre[0], pre[2], pre[4]]),
+        jnp.stack([X2, Y2, Z2, pre[1], pre[3], pre[5]]),
+    )
+    t0, t1, t2, u1, u2, u3 = (g1[i] for i in range(6))
+    s = F.add(fp, jnp.stack([t0, t1, t0]), jnp.stack([t1, t2, t2]))
+    d = F.sub(fp, jnp.stack([u1, u2, u3]), s)
+    t3 = d[0]   # X1Y2 + X2Y1
+    t5 = d[1]   # Y1Z2 + Y2Z1
+    t4 = d[2]   # X1Z2 + X2Z1
+
+    # constant muls: a*t4, b3*t2, a*t2, b3*t4
+    an = jnp.broadcast_to(a, t4.shape)
+    bn = jnp.broadcast_to(b3, t4.shape)
+    g2 = F.mul(
+        fp, jnp.stack([an, bn, an, bn]), jnp.stack([t4, t2, t2, t4])
+    )
+    at4, bt2, at2, bt4 = (g2[i] for i in range(4))
+
+    Z3p = F.add(fp, at4, bt2)            # a*t4 + b3*t2
+    X3p = F.sub(fp, t1, Z3p)
+    Z3q = F.add(fp, t1, Z3p)
+    t1n = F.add(fp, F.mul_small(fp, t0, 3), at2)   # 3*t0 + a*t2
+    t2m = F.sub(fp, t0, at2)             # t0 - a*t2
+
+    g3 = F.mul(fp, jnp.stack([an, X3p]), jnp.stack([t2m, Z3q]))
+    t4n = F.add(fp, bt4, g3[0])          # b3*t4 + a*(t0 - a*t2)
+    y3p = g3[1]                          # X3p * Z3q
+
+    g4 = F.mul(
+        fp,
+        jnp.stack([t1n, t5, t3, t3, t5]),
+        jnp.stack([t4n, t4n, X3p, t1n, Z3q]),
+    )
+    Y3 = F.add(fp, y3p, g4[0])
+    X3 = F.sub(fp, g4[2], g4[1])
+    Z3 = F.add(fp, g4[4], g4[3])
+    return jnp.stack([X3, Y3, Z3], axis=-2)
+
+
+def _dbl_generic(curve: Curve, P):
+    """Complete projective doubling for arbitrary a (RCB16 Algorithm 3)."""
+    fp = curve.fp
+    a = F.const(curve.a_limbs)
+    b3 = F.const(curve.b3_limbs)
+    X, Y, Z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
+
+    g1 = F.mul(
+        fp, jnp.stack([X, Y, Z, X, X, Y]), jnp.stack([X, Y, Z, Y, Z, Z])
+    )
+    t0, t1, t2, xy, xz, yz = (g1[i] for i in range(6))
+    t3 = F.add(fp, xy, xy)               # 2XY
+    z3t = F.add(fp, xz, xz)              # 2XZ
+
+    an = jnp.broadcast_to(a, t2.shape)
+    bn = jnp.broadcast_to(b3, t2.shape)
+    g2 = F.mul(
+        fp, jnp.stack([an, bn, an, bn]), jnp.stack([z3t, t2, t2, z3t])
+    )
+    az3, bt2, at2, bz3 = (g2[i] for i in range(4))
+
+    Y3p = F.add(fp, az3, bt2)            # a*2XZ + b3*Z^2
+    X3p = F.sub(fp, t1, Y3p)
+    Y3q = F.add(fp, t1, Y3p)
+    t3m = F.sub(fp, t0, at2)             # X^2 - a*Z^2
+    t0n = F.add(fp, F.mul_small(fp, t0, 3), at2)   # 3X^2 + a*Z^2
+    t2c = F.add(fp, yz, yz)              # 2YZ
+
+    g3 = F.mul(fp, jnp.stack([an, X3p]), jnp.stack([t3m, Y3q]))
+    t3n = F.add(fp, g3[0], bz3)          # a*(X^2 - aZ^2) + b3*2XZ
+    y3p = g3[1]                          # X3p * Y3q
+
+    g4 = F.mul(
+        fp,
+        jnp.stack([t0n, t2c, t3, t2c]),
+        jnp.stack([t3n, t3n, X3p, t1]),
+    )
+    Y3 = F.add(fp, y3p, g4[0])
+    X3 = F.sub(fp, g4[2], g4[1])
+    Z3 = F.mul_small(fp, g4[3], 4)       # 8 Y^3 Z
+    return jnp.stack([X3, Y3, Z3], axis=-2)
+
+
 def add(curve: Curve, P, Q):
-    """Complete projective addition (RCB16 Algorithm 7, a=0).
+    """Complete projective addition (RCB16 Algorithm 7, a=0; Algorithm 1
+    for arbitrary a).
 
     12 field muls + 3 small-constant muls; branchless and total.  The muls
     are grouped into two batched calls of six (stacked along a new leading
@@ -102,6 +212,8 @@ def add(curve: Curve, P, Q):
     per-op compile time and MXU utilization both improve ~6x over naive
     sequencing.
     """
+    if not curve.a_is_zero:
+        return _add_generic(curve, P, Q)
     fp = curve.fp
     b3 = curve.b3
     X1, Y1, Z1 = P[..., 0, :], P[..., 1, :], P[..., 2, :]
@@ -149,11 +261,14 @@ def add(curve: Curve, P, Q):
 
 
 def dbl(curve: Curve, P):
-    """Complete projective doubling (RCB16 Algorithm 9, a=0).
+    """Complete projective doubling (RCB16 Algorithm 9, a=0; Algorithm 3
+    for arbitrary a).
 
     8 field muls + small-constant muls, grouped into two batched calls of
     four (see add() for rationale).
     """
+    if not curve.a_is_zero:
+        return _dbl_generic(curve, P)
     fp = curve.fp
     b3 = curve.b3
     b9 = 3 * b3
@@ -205,7 +320,7 @@ def scalar_mul(curve: Curve, P, k):
     scan), then 64 iterations of 4 doublings + table add.  Equivalent of
     EC_POINT_mul(group, r, NULL, P, k) (`/root/reference/SEAL/bidder.cpp:129`).
     """
-    if _use_pallas():
+    if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.scalar_mul(curve, P, k)
     batch = P.shape[:-2]
@@ -262,7 +377,7 @@ def dual_mul(curve: Curve, P, kp, Q, kq):
     even ones, via lax.cond) so the loop body contains a single point-add
     instance -- halving the XLA graph vs. two adds per window.
     """
-    if _use_pallas():
+    if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.dual_mul(curve, P, kp, Q, kq)
     batch = jnp.broadcast_shapes(
@@ -308,7 +423,7 @@ def base_mul_add(curve: Curve, s, P, t):
 
     Same interleaved single-add loop structure as dual_mul.
     """
-    if _use_pallas():
+    if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.base_mul_add(curve, s, P, t)
     batch = jnp.broadcast_shapes(P.shape[:-2], s.shape[:-1], t.shape[:-1])
@@ -338,7 +453,7 @@ def mul_base(curve: Curve, k):
     64 complete adds, no doublings.  Equivalent of
     EC_POINT_mul(group, r, k, NULL, NULL) (`/root/reference/SEAL/bidder.cpp:98`).
     """
-    if _use_pallas():
+    if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.mul_base(curve, k)
     return mul_comb(curve, jnp.asarray(curve.comb_table), k)
@@ -346,7 +461,7 @@ def mul_base(curve: Curve, k):
 
 def mul_comb(curve: Curve, table, k):
     """Comb scalar mult against a (64, 16, 3, L) table of any base point."""
-    if _use_pallas():
+    if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.mul_comb(curve, table, k)
     batch = k.shape[:-1]
@@ -403,13 +518,21 @@ def serialize_affine(x, y, inf=None):
 
 
 def on_curve(curve: Curve, P):
-    """Projective on-curve check: Y^2 Z == X^3 + b Z^3 (a=0)."""
+    """Projective on-curve check: Y^2 Z == X^3 + a X Z^2 + b Z^3."""
     fp = curve.fp
     X, Y, Z = P[..., 0, :], P[..., 1, :], P[..., 2, :]
     lhs = F.mul(fp, F.mul(fp, Y, Y), Z)
     x3 = F.mul(fp, F.mul(fp, X, X), X)
-    z3 = F.mul(fp, F.mul(fp, Z, Z), Z)
-    rhs = F.add(fp, x3, F.mul_small(fp, z3, curve.host.b))
+    z2 = F.mul(fp, Z, Z)
+    z3 = F.mul(fp, z2, Z)
+    rhs = F.add(fp, x3, F.mul(fp, z3, F.const(curve.b_limbs, Z.shape[:-1])))
+    if not curve.a_is_zero:
+        axz2 = F.mul(
+            fp,
+            F.mul(fp, X, z2),
+            F.const(curve.a_limbs, X.shape[:-1]),
+        )
+        rhs = F.add(fp, rhs, axz2)
     return F.eq(lhs, rhs)
 
 

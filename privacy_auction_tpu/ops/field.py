@@ -66,7 +66,13 @@ def ints_to_limbs(xs, width: int = LIMBS) -> np.ndarray:
 
 @dataclass(frozen=True)
 class FieldSpec:
-    """A prime field GF(m) with m = 2**256 - K, K < 2**136."""
+    """A prime field GF(m), 2**255 < m < 2**256.
+
+    Reduction strategy: fold reduction (repeated L + H*K with
+    K = 2**256 - m) when K < 2**136 (covers both secp256k1 fields);
+    otherwise branchless Barrett (mu_limbs set; covers the NIST P-256
+    fields, whose K ~ 2**224 would not shrink under folding).
+    """
 
     name: str
     modulus: int
@@ -74,6 +80,7 @@ class FieldSpec:
     m17_limbs: np.ndarray = dc_field(repr=False)        # (17,) m zero-extended
     k_limbs: np.ndarray = dc_field(repr=False)          # (nk,) K = 2**256 - m
     exp_inv_bits: np.ndarray = dc_field(repr=False)     # (256,) bits of m-2, MSB first
+    mu_limbs: np.ndarray | None = dc_field(repr=False, default=None)  # (17,) floor(2**512/m)
 
     def __hash__(self):
         return hash((self.name, self.modulus))
@@ -85,10 +92,13 @@ class FieldSpec:
 @functools.lru_cache(maxsize=None)
 def make_spec(name: str, modulus: int) -> FieldSpec:
     K = (1 << 256) - modulus
-    assert 0 < K < (1 << 136), "fold reduction requires m within 2**136 of 2**256"
+    assert 0 < K < (1 << 255), "modulus must satisfy 2**255 < m < 2**256"
     nk = max(1, (K.bit_length() + RADIX_BITS - 1) // RADIX_BITS)
     exp = modulus - 2
     bits = np.array([(exp >> (255 - i)) & 1 for i in range(256)], dtype=np.uint32)
+    mu = None
+    if K >= (1 << 136):  # fold reduction would not converge; use Barrett
+        mu = int_to_limbs((1 << 512) // modulus, 17)
     return FieldSpec(
         name=name,
         modulus=modulus,
@@ -96,6 +106,7 @@ def make_spec(name: str, modulus: int) -> FieldSpec:
         m17_limbs=int_to_limbs(modulus, 17),
         k_limbs=int_to_limbs(K, nk),
         exp_inv_bits=bits,
+        mu_limbs=mu,
     )
 
 
@@ -338,6 +349,27 @@ def neg(spec: FieldSpec, a):
     return sub(spec, jnp.zeros_like(a), a)
 
 
+def _reduce_barrett(spec: FieldSpec, v):
+    """Branchless Barrett reduction (HAC Alg 14.42) of a normalized value
+    (..., W <= 32 limbs) mod m; valid for any m > 2**240 (here m > 2**255).
+
+    q_hat = floor(floor(v / 2**240) * mu / 2**272) with
+    mu = floor(2**512 / m) satisfies q - 2 <= q_hat <= q = floor(v / m),
+    so r = v - q_hat*m < 3m < 2**258: computed mod 2**272 (17 limbs,
+    borrow discarded) and brought canonical by the stacked double
+    conditional subtract.
+    """
+    v = _pad_to(v, 32)
+    mu = jnp.asarray(spec.mu_limbs)
+    q1 = v[..., 15:]                                   # (..., 17)
+    q2 = _mul_raw(q1, jnp.broadcast_to(mu, q1.shape[:-1] + mu.shape))
+    q3 = q2[..., 17:]                                  # (..., 17)
+    m16 = jnp.asarray(spec.m_limbs)
+    q3m = _mul_raw(q3, jnp.broadcast_to(m16, q3.shape[:-1] + m16.shape))
+    r, _ = _sub_raw(v[..., :17], q3m[..., :17])        # mod 2**272
+    return _cond_sub2(spec, r)[..., :LIMBS]
+
+
 def reduce_wide(spec: FieldSpec, v):
     """Reduce a normalized wide value (..., W>=16 limbs) mod m.
 
@@ -346,6 +378,8 @@ def reduce_wide(spec: FieldSpec, v):
     fold loop is bounded < 3m, which the two conditional subtracts cover;
     an arbitrary width-17 input is not).
     """
+    if spec.mu_limbs is not None:
+        return _reduce_barrett(spec, v)
     if _fast_k0(spec) is not None:
         return _reduce_cols_fast(spec, v)
     k = jnp.asarray(spec.k_limbs)
@@ -494,15 +528,22 @@ def select(cond, a, b):
 
 
 def from_random_bits(spec: FieldSpec, bits32):
-    """uint32 random words (..., 8) -> field element (bias < 2**-120).
+    """uint32 random words (..., 8 or 16) -> field element.
 
-    Values in [m, 2**256) wrap once; for m within 2**136 of 2**256 the
-    statistical distance from uniform is negligible.
+    8 words (fold-friendly moduli): values in [m, 2**256) wrap once; for m
+    within 2**136 of 2**256 the statistical distance from uniform is
+    < 2**-120.  16 words (Barrett moduli, e.g. P-256): the 512-bit value is
+    reduced mod m, bias < 2**-256.
     """
+    words = bits32.shape[-1]
     lo = bits32 & MASK
     hi = bits32 >> RADIX_BITS
-    limbs = jnp.stack([lo, hi], axis=-1).reshape(bits32.shape[:-1] + (LIMBS,))
-    v = _pad_to(limbs.astype(U32), 17)
+    limbs = jnp.stack([lo, hi], axis=-1).reshape(
+        bits32.shape[:-1] + (2 * words,)
+    ).astype(U32)
+    if words != 8:
+        return reduce_wide(spec, limbs)
+    v = _pad_to(limbs, 17)
     m17 = jnp.broadcast_to(jnp.asarray(spec.m17_limbs), v.shape)
     v = _cond_sub(v, m17)
     return v[..., :LIMBS]
@@ -510,7 +551,8 @@ def from_random_bits(spec: FieldSpec, bits32):
 
 def random(spec: FieldSpec, key, shape=()):
     """Uniform field elements from a jax.random key."""
-    bits = jax.random.bits(key, shape + (8,), dtype=jnp.uint32)
+    words = 8 if spec.mu_limbs is None else 16
+    bits = jax.random.bits(key, shape + (words,), dtype=jnp.uint32)
     return from_random_bits(spec, bits)
 
 
