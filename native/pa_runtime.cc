@@ -21,7 +21,12 @@
 #include <map>
 #include <mutex>
 #include <string>
+#include <thread>
 #include <vector>
+
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <unistd.h>
 
 namespace {
 
@@ -145,6 +150,258 @@ void pa_board_reset(Board *b) {
   b->bytes.clear();
   b->times.clear();
   b->open.clear();
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multi-process deployment hub: the board served over a Unix-domain socket.
+//
+// The reference "network" is an in-process object the driver passes around
+// (SEAL/main.cpp:30, CCS22/main.cpp:31); real deployments need a process
+// boundary.  A BoardServer owns a Board and serves post/fetch/meter
+// requests from party processes over a length-framed socket protocol; the
+// byte meters then count real cross-process transfers, not simulations.
+//
+// Wire format (native-endian, same-host processes):
+//   request:  u8 op | i32 phase | i32 round | i64 party
+//             | u32 cat_len | u32 payload_len | cat | payload
+//   response: i64 status | u32 payload_len | payload
+// Ops: 1=POST 2=FETCH 3=BYTES 4=TOTAL 5=RESET 6=ACCOUNT(nbytes in party).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+bool read_full(int fd, void *buf, size_t len) {
+  uint8_t *p = static_cast<uint8_t *>(buf);
+  while (len) {
+    ssize_t r = ::read(fd, p, len);
+    if (r <= 0) return false;
+    p += r;
+    len -= static_cast<size_t>(r);
+  }
+  return true;
+}
+
+bool write_full(int fd, const void *buf, size_t len) {
+  const uint8_t *p = static_cast<const uint8_t *>(buf);
+  while (len) {
+    ssize_t w = ::write(fd, p, len);
+    if (w <= 0) return false;
+    p += w;
+    len -= static_cast<size_t>(w);
+  }
+  return true;
+}
+
+#pragma pack(push, 1)
+struct ReqHeader {
+  uint8_t op;
+  int32_t phase;
+  int32_t round;
+  int64_t party;
+  uint32_t cat_len;
+  uint32_t payload_len;
+};
+struct RespHeader {
+  int64_t status;
+  uint32_t payload_len;
+};
+#pragma pack(pop)
+
+struct Server {
+  Board *board = nullptr;
+  int listen_fd = -1;
+  std::thread accept_thread;
+  std::string path;
+};
+
+void serve_conn(Board *board, int fd) {
+  std::vector<uint8_t> cat, payload, out;
+  for (;;) {
+    ReqHeader h;
+    if (!read_full(fd, &h, sizeof(h))) break;
+    if (h.cat_len > 256 || h.payload_len > (64u << 20)) break;
+    cat.resize(h.cat_len + 1);
+    cat[h.cat_len] = 0;
+    if (h.cat_len && !read_full(fd, cat.data(), h.cat_len)) break;
+    payload.resize(h.payload_len);
+    if (h.payload_len && !read_full(fd, payload.data(), h.payload_len)) break;
+    const char *category = reinterpret_cast<const char *>(cat.data());
+
+    RespHeader resp{0, 0};
+    out.clear();
+    switch (h.op) {
+      case 1:  // POST
+        resp.status = pa_board_post(board, h.phase, h.round, h.party,
+                                    payload.data(),
+                                    static_cast<int64_t>(payload.size()),
+                                    category);
+        break;
+      case 2: {  // FETCH
+        int64_t size = pa_board_size(board, h.phase, h.round, h.party);
+        if (size < 0) {
+          resp.status = -1;
+        } else {
+          out.resize(static_cast<size_t>(size));
+          resp.status = pa_board_fetch(board, h.phase, h.round, h.party,
+                                       out.data(), size, category);
+          if (resp.status >= 0)
+            resp.payload_len = static_cast<uint32_t>(resp.status);
+          else
+            out.clear();
+        }
+        break;
+      }
+      case 3:  // BYTES
+        resp.status = pa_board_bytes(board, category);
+        break;
+      case 4:  // TOTAL
+        resp.status = pa_board_total_bytes(board);
+        break;
+      case 5:  // RESET
+        pa_board_reset(board);
+        break;
+      case 6:  // ACCOUNT (nbytes carried in the party field)
+        pa_board_account(board, category, h.party);
+        break;
+      default:
+        resp.status = -99;
+        break;
+    }
+    if (!write_full(fd, &resp, sizeof(resp))) break;
+    if (resp.payload_len && !write_full(fd, out.data(), resp.payload_len))
+      break;
+  }
+  ::close(fd);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Start serving `board` on a Unix-domain socket at `path` (unlinked first).
+// Returns an opaque server handle, or null on failure.
+Server *pa_server_start(Board *board, const char *path) {
+  int fd = ::socket(AF_UNIX, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  sockaddr_un addr{};
+  addr.sun_family = AF_UNIX;
+  std::strncpy(addr.sun_path, path, sizeof(addr.sun_path) - 1);
+  ::unlink(path);
+  if (::bind(fd, reinterpret_cast<sockaddr *>(&addr), sizeof(addr)) < 0 ||
+      ::listen(fd, 64) < 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  Server *s = new Server();
+  s->board = board;
+  s->listen_fd = fd;
+  s->path = path;
+  s->accept_thread = std::thread([s]() {
+    for (;;) {
+      int conn = ::accept(s->listen_fd, nullptr, nullptr);
+      if (conn < 0) break;  // listen fd closed: shut down
+      std::thread(serve_conn, s->board, conn).detach();
+    }
+  });
+  return s;
+}
+
+void pa_server_stop(Server *s) {
+  if (!s) return;
+  ::shutdown(s->listen_fd, SHUT_RDWR);
+  ::close(s->listen_fd);
+  if (s->accept_thread.joinable()) s->accept_thread.join();
+  ::unlink(s->path.c_str());
+  delete s;
+}
+
+// ---- client side ----------------------------------------------------------
+
+struct PaClient {
+  int fd = -1;
+  std::mutex mu;
+};
+
+PaClient *pa_client_connect(const char *path) {
+  int fd = ::socket(AF_UNIX, SOCK_STREAM, 0);
+  if (fd < 0) return nullptr;
+  sockaddr_un addr{};
+  addr.sun_family = AF_UNIX;
+  std::strncpy(addr.sun_path, path, sizeof(addr.sun_path) - 1);
+  if (::connect(fd, reinterpret_cast<sockaddr *>(&addr), sizeof(addr)) < 0) {
+    ::close(fd);
+    return nullptr;
+  }
+  PaClient *c = new PaClient();
+  c->fd = fd;
+  return c;
+}
+
+void pa_client_close(PaClient *c) {
+  if (!c) return;
+  ::close(c->fd);
+  delete c;
+}
+
+static int64_t client_call(PaClient *c, uint8_t op, int32_t phase,
+                           int32_t round, int64_t party, const uint8_t *data,
+                           int64_t len, const char *category, uint8_t *out,
+                           int64_t cap) {
+  std::lock_guard<std::mutex> lock(c->mu);
+  ReqHeader h{};
+  h.op = op;
+  h.phase = phase;
+  h.round = round;
+  h.party = party;
+  size_t cat_len = category ? std::strlen(category) : 0;
+  h.cat_len = static_cast<uint32_t>(cat_len);
+  h.payload_len = static_cast<uint32_t>(len > 0 ? len : 0);
+  if (!write_full(c->fd, &h, sizeof(h))) return -3;
+  if (cat_len && !write_full(c->fd, category, cat_len)) return -3;
+  if (h.payload_len && !write_full(c->fd, data, h.payload_len)) return -3;
+  RespHeader r;
+  if (!read_full(c->fd, &r, sizeof(r))) return -3;
+  if (r.payload_len) {
+    if (out == nullptr || static_cast<int64_t>(r.payload_len) > cap) {
+      // drain and report truncation
+      std::vector<uint8_t> sink(r.payload_len);
+      read_full(c->fd, sink.data(), r.payload_len);
+      return -2;
+    }
+    if (!read_full(c->fd, out, r.payload_len)) return -3;
+  }
+  return r.status;
+}
+
+int32_t pa_client_post(PaClient *c, int32_t phase, int32_t round,
+                       int64_t party, const uint8_t *data, int64_t len,
+                       const char *category) {
+  return static_cast<int32_t>(
+      client_call(c, 1, phase, round, party, data, len, category, nullptr, 0));
+}
+
+int64_t pa_client_fetch(PaClient *c, int32_t phase, int32_t round,
+                        int64_t party, uint8_t *out, int64_t cap,
+                        const char *category) {
+  return client_call(c, 2, phase, round, party, nullptr, 0, category, out, cap);
+}
+
+int64_t pa_client_bytes(PaClient *c, const char *category) {
+  return client_call(c, 3, 0, 0, 0, nullptr, 0, category, nullptr, 0);
+}
+
+int64_t pa_client_total_bytes(PaClient *c) {
+  return client_call(c, 4, 0, 0, 0, nullptr, 0, "", nullptr, 0);
+}
+
+void pa_client_reset(PaClient *c) {
+  client_call(c, 5, 0, 0, 0, nullptr, 0, "", nullptr, 0);
+}
+
+void pa_client_account(PaClient *c, const char *category, int64_t nbytes) {
+  client_call(c, 6, 0, 0, nbytes, nullptr, 0, category, nullptr, 0);
 }
 
 }  // extern "C"

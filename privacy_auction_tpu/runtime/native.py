@@ -81,6 +81,31 @@ def _load():
     lib.pa_timer_seconds.restype = ctypes.c_double
     lib.pa_timer_seconds.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.pa_board_reset.argtypes = [ctypes.c_void_p]
+    # socket hub (multi-process deployment)
+    lib.pa_server_start.restype = ctypes.c_void_p
+    lib.pa_server_start.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_server_stop.argtypes = [ctypes.c_void_p]
+    lib.pa_client_connect.restype = ctypes.c_void_p
+    lib.pa_client_connect.argtypes = [ctypes.c_char_p]
+    lib.pa_client_close.argtypes = [ctypes.c_void_p]
+    lib.pa_client_post.restype = ctypes.c_int32
+    lib.pa_client_post.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+    ]
+    lib.pa_client_fetch.restype = ctypes.c_int64
+    lib.pa_client_fetch.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p,
+    ]
+    lib.pa_client_bytes.restype = ctypes.c_int64
+    lib.pa_client_bytes.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+    lib.pa_client_total_bytes.restype = ctypes.c_int64
+    lib.pa_client_total_bytes.argtypes = [ctypes.c_void_p]
+    lib.pa_client_reset.argtypes = [ctypes.c_void_p]
+    lib.pa_client_account.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -152,3 +177,102 @@ class NativeBoard:
 
     def reset(self):
         self._lib.pa_board_reset(self._ptr)
+
+    def serve(self, sock_path: str) -> "BoardServer":
+        """Serve this board to other processes over a Unix-domain socket.
+
+        This is the deployment hub: the reference's BulletinBoard is an
+        object every party holds in one process (`SEAL/main.cpp:30`); here
+        party processes connect with `BoardClient` and the byte meters
+        count real cross-process transfers."""
+        return BoardServer(self, sock_path)
+
+
+class BoardServer:
+    """Running socket server for a NativeBoard (stop() or GC to shut down)."""
+
+    def __init__(self, board: NativeBoard, sock_path: str):
+        self._board = board  # keep the board alive while serving
+        self._lib = board._lib
+        self._ptr = self._lib.pa_server_start(board._ptr, sock_path.encode())
+        if not self._ptr:
+            raise OSError(f"cannot serve board on {sock_path}")
+        self.sock_path = sock_path
+
+    def stop(self):
+        ptr, self._ptr = getattr(self, "_ptr", None), None
+        if ptr:
+            self._lib.pa_server_stop(ptr)
+
+    def __del__(self):
+        self.stop()
+
+
+class BoardClient:
+    """Party-process handle to a served board (post/fetch over the socket)."""
+
+    def __init__(self, sock_path: str):
+        self._lib = _load()
+        self._ptr = self._lib.pa_client_connect(sock_path.encode())
+        if not self._ptr:
+            raise OSError(f"cannot connect to board at {sock_path}")
+
+    def close(self):
+        ptr, self._ptr = getattr(self, "_ptr", None), None
+        if ptr:
+            self._lib.pa_client_close(ptr)
+
+    def __del__(self):
+        self.close()
+
+    def post(self, phase: int, round_: int, party: int, payload: bytes,
+             category: str = "bidder"):
+        rc = self._lib.pa_client_post(
+            self._ptr, phase, round_, party, payload, len(payload),
+            category.encode(),
+        )
+        if rc != 0:
+            raise ValueError(f"post failed: {rc}")
+
+    def fetch(self, phase: int, round_: int, party: int,
+              category: str = "bidder", max_size: int = 1 << 20):
+        buf = ctypes.create_string_buffer(max_size)
+        got = self._lib.pa_client_fetch(
+            self._ptr, phase, round_, party, buf, max_size, category.encode()
+        )
+        if got == -1:
+            return None
+        if got < 0:
+            raise RuntimeError(f"fetch failed: {got}")
+        return buf.raw[:got]
+
+    def fetch_wait(self, phase: int, round_: int, party: int,
+                   category: str = "bidder", timeout_s: float = 30.0,
+                   poll_s: float = 0.005):
+        """Blocking fetch: poll until the message is posted (the barrier
+        semantics of the reference's phase loops, `SEAL/main.cpp:46-120`)."""
+        import time as _time
+
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            msg = self.fetch(phase, round_, party, category)
+            if msg is not None:
+                return msg
+            if _time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"no message for (phase={phase}, round={round_}, "
+                    f"party={party}) within {timeout_s}s"
+                )
+            _time.sleep(poll_s)
+
+    def bytes(self, category: str) -> int:
+        return self._lib.pa_client_bytes(self._ptr, category.encode())
+
+    def total_bytes(self) -> int:
+        return self._lib.pa_client_total_bytes(self._ptr)
+
+    def reset(self):
+        self._lib.pa_client_reset(self._ptr)
+
+    def account(self, category: str, nbytes: int):
+        self._lib.pa_client_account(self._ptr, category.encode(), nbytes)
