@@ -316,10 +316,15 @@ def _dbl4(curve: Curve, acc):
 def scalar_mul(curve: Curve, P, k):
     """Variable-base scalar mult k*P, batched; constant-time shape.
 
-    Fixed 4-bit windows: a per-lane 16-entry table (14 complete adds via
-    scan), then 64 iterations of 4 doublings + table add.  Equivalent of
+    On curves with an efficient endomorphism (secp256k1) this runs the
+    GLV split ladder: k*P = k1*P + k2*phi(P) with 128-bit k1, k2 -- half
+    the doubling chain of the plain ladder.  Otherwise fixed 4-bit
+    windows: a per-lane 16-entry table (14 complete adds via scan), then
+    64 iterations of 4 doublings + table add.  Equivalent of
     EC_POINT_mul(group, r, NULL, P, k) (`/root/reference/SEAL/bidder.cpp:129`).
     """
+    if curve.glv is not None:
+        return _glv_scalar_mul(curve, P, k)
     if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.scalar_mul(curve, P, k)
@@ -363,6 +368,184 @@ def _build_table(curve: Curve, P):
     return jnp.concatenate([infinity((1,) + batch), P[None], rest], axis=0)
 
 
+# --------------------------------------------------------------------------
+# GLV endomorphism acceleration (secp256k1)
+# --------------------------------------------------------------------------
+
+def glv_decompose(curve: Curve, k):
+    """Branchless device GLV split: k (..., 16) mod n ->
+    (|k1| limbs, k1<0, |k2| limbs, k2<0) with k1 + k2*lam = k mod n and
+    |ki| < 2**132 (GLV_WINDOWS 4-bit windows).
+
+    c_i = round(k * g_i / 2**272) via one wide limb product + a rounding
+    bit + a limb shift; the signed lattice combination runs entirely in
+    mod-n arithmetic (|ki| << n/2, so the representative's half-range
+    determines sign and magnitude exactly).  Every multi-op phase is a
+    single stacked dispatch (the two g-products, the four basis products,
+    the two half-range compares).
+    """
+    glv = curve.glv
+    fn = curve.fn
+    batch = k.shape[:-1]
+
+    g12 = jnp.asarray(np.stack([glv.g1_limbs, glv.g2_limbs]))  # (2, 10)
+    prod = F._mul_raw(
+        jnp.broadcast_to(k, (2,) + batch + (F.LIMBS,)),
+        jnp.broadcast_to(
+            g12.reshape((2,) + (1,) * len(batch) + (10,)),
+            (2,) + batch + (10,),
+        ),
+    )                                                  # (2, ..., 26)
+    rnd = prod.at[..., 16].add(jnp.uint32(0x8000))     # + 2**271
+    digits, _ = F._propagate(rnd)
+    c = F._pad_to(digits[..., 17:], F.LIMBS)           # >> 272: (2, ..., 16)
+    c1, c2 = c[0], c[1]
+
+    consts = np.stack(
+        [glv.a1n_limbs, glv.a2n_limbs, glv.b1n_limbs, glv.b2n_limbs]
+    )
+    m = F.mul(
+        fn,
+        jnp.stack([c1, c2, c1, c2]),
+        jnp.broadcast_to(
+            jnp.asarray(consts).reshape((4,) + (1,) * len(batch) + (F.LIMBS,)),
+            (4,) + batch + (F.LIMBS,),
+        ),
+    )
+    sums = F.add(fn, jnp.stack([m[0], m[2]]), jnp.stack([m[1], m[3]]))
+    km = F.sub(
+        fn,
+        jnp.stack([k, jnp.zeros_like(k)]),
+        sums,
+    )                                                  # (2, ..., 16)
+
+    half = F.const(curve.host.n // 2, (2,) + batch)
+    _, borrow = F._sub_raw(half, km)                   # borrow=1 iff km > half
+    negf = borrow == 1
+    mag = F.select(negf, F.sub(fn, jnp.zeros_like(km), km), km)
+    return mag[0], negf[0], mag[1], negf[1]
+
+
+def endo_apply(curve: Curve, P):
+    """The GLV endomorphism phi(X:Y:Z) = (beta*X : Y : Z) = lam * P."""
+    beta = F.const(curve.glv.beta_limbs, P.shape[:-2])
+    return jnp.stack(
+        [F.mul(curve.fp, P[..., 0, :], beta), P[..., 1, :], P[..., 2, :]],
+        axis=-2,
+    )
+
+
+def _multi_ladder(curve: Curve, Ps, ks, windows: int):
+    """Shared-doubling Straus ladder over S stacked sources.
+
+    Ps: (S, batch..., 3, L); ks: list of S scalar limb arrays; single
+    point-add instance in the interleaved loop body (see dual_mul
+    rationale).
+    """
+    S = Ps.shape[0]
+    batch = Ps.shape[1:-2]
+    tables = _build_table(curve, Ps)  # (16, S, batch..., 3, L)
+    flat = tables.reshape((COMB_SIZE * S,) + tables.shape[2:])
+    digs = jnp.stack(
+        [jnp.broadcast_to(_window_digits(k)[:windows], (windows,) + batch)
+         for k in ks],
+        axis=1,
+    )  # (windows, S, batch...)
+
+    def body(i, acc):
+        w = (windows - 1) - (i // S)
+        par = i % S
+        acc = jax.lax.cond(par == 0, lambda a: _dbl4(curve, a), lambda a: a, acc)
+        dw = jax.lax.dynamic_index_in_dim(digs, w, 0, keepdims=False)
+        dig = jax.lax.dynamic_index_in_dim(dw, par, 0, keepdims=False)
+        entry = _select_entry(flat, dig * S + par.astype(jnp.uint32))
+        return add(curve, acc, entry)
+
+    return jax.lax.fori_loop(0, S * windows, body, infinity(batch))
+
+
+def _glv_split_point(curve: Curve, P, k):
+    """Decompose k and sign-adjust (P, phi(P)): returns (P1, k1, P2, k2,
+    neg-flags (s1, s2)) with k*P = k1*P1 + k2*P2, |ki| < 2**132."""
+    k1, s1, k2, s2 = glv_decompose(curve, k)
+    P1 = select(s1, neg(curve, P), P)
+    P2full = endo_apply(curve, P)
+    P2 = select(s2, neg(curve, P2full), P2full)
+    return P1, k1, P2, k2, s1, s2
+
+
+def _glv_scalar_mul(curve: Curve, P, k):
+    """k*P as k1*P + k2*phi(P): half-length shared-doubling ladder."""
+    from ..curves import GLV_WINDOWS
+
+    batch = jnp.broadcast_shapes(P.shape[:-2], k.shape[:-1])
+    P = jnp.broadcast_to(P, batch + (3, LIMBS))
+    k = jnp.broadcast_to(k, batch + (LIMBS,))
+    P1, k1, P2, k2, _, _ = _glv_split_point(curve, P, k)
+    if _pallas_ok(curve):
+        from . import pallas_ec
+        return pallas_ec.dual_mul_windows(curve, P1, k1, P2, k2, GLV_WINDOWS)
+    return _multi_ladder(
+        curve, jnp.stack([P1, P2]), [k1, k2], GLV_WINDOWS
+    )
+
+
+def _glv_dual_mul(curve: Curve, P, kp, Q, kq):
+    """kp*P + kq*Q as a four-half-scalar shared-doubling ladder."""
+    from ..curves import GLV_WINDOWS
+
+    batch = jnp.broadcast_shapes(
+        P.shape[:-2], Q.shape[:-2], kp.shape[:-1], kq.shape[:-1]
+    )
+    P = jnp.broadcast_to(P, batch + (3, LIMBS))
+    Q = jnp.broadcast_to(Q, batch + (3, LIMBS))
+    kp = jnp.broadcast_to(kp, batch + (LIMBS,))
+    kq = jnp.broadcast_to(kq, batch + (LIMBS,))
+    P1, kp1, P2, kp2, _, _ = _glv_split_point(curve, P, kp)
+    Q1, kq1, Q2, kq2, _, _ = _glv_split_point(curve, Q, kq)
+    if _pallas_ok(curve):
+        from . import pallas_ec
+        return pallas_ec.quad_mul_windows(
+            curve, P1, kp1, P2, kp2, Q1, kq1, Q2, kq2, GLV_WINDOWS
+        )
+    return _multi_ladder(
+        curve, jnp.stack([P1, P2, Q1, Q2]), [kp1, kp2, kq1, kq2],
+        GLV_WINDOWS,
+    )
+
+
+def _glv_base_mul_add(curve: Curve, s, P, t):
+    """g^s * P^t with both scalars endomorphism-split (four half-length
+    scalars over one shared doubling chain)."""
+    from ..curves import GLV_WINDOWS
+
+    batch = jnp.broadcast_shapes(P.shape[:-2], s.shape[:-1], t.shape[:-1])
+    P = jnp.broadcast_to(P, batch + (3, LIMBS))
+    s = jnp.broadcast_to(s, batch + (LIMBS,))
+    t = jnp.broadcast_to(t, batch + (LIMBS,))
+    P1, t1, P2, t2, _, _ = _glv_split_point(curve, P, t)
+    s1, ss1, s2, ss2 = glv_decompose(curve, s)
+    if _pallas_ok(curve):
+        from . import pallas_ec
+        sflags = jnp.stack(
+            [ss1.astype(jnp.uint32), ss2.astype(jnp.uint32)], axis=-1
+        )
+        return pallas_ec.base_mul_add_glv(
+            curve, P1, t1, P2, t2, s1, s2, sflags, GLV_WINDOWS
+        )
+    G = from_affine(
+        jnp.asarray(curve.generator_affine[0]),
+        jnp.asarray(curve.generator_affine[1]),
+    )
+    G = jnp.broadcast_to(G, batch + (3, LIMBS))
+    Gl = endo_apply(curve, G)
+    G1 = select(ss1, neg(curve, G), G)
+    G2 = select(ss2, neg(curve, Gl), Gl)
+    return _multi_ladder(
+        curve, jnp.stack([G1, G2, P1, P2]), [s1, s2, t1, t2], GLV_WINDOWS
+    )
+
+
 def dual_mul(curve: Curve, P, kp, Q, kq):
     """Shamir/Straus joint scalar mult s*P + t*Q, batched.
 
@@ -372,11 +555,15 @@ def dual_mul(curve: Curve, P, kp, Q, kq):
     form eps == base1^rho * base2^ch
     (`/root/reference/SEAL/bidder.cpp:255-296,487-568,937-1098`).
 
-    Graph-lean structure: both tables are built in ONE stacked scan, and
-    the window loop runs 2*64 interleaved iterations (doublings only on
-    even ones, via lax.cond) so the loop body contains a single point-add
-    instance -- halving the XLA graph vs. two adds per window.
+    On GLV curves both scalars are endomorphism-split (four 128-bit
+    half-scalars, one half-length doubling chain).  Otherwise both tables
+    are built in ONE stacked scan, and the window loop runs 2*64
+    interleaved iterations (doublings only on even ones, via lax.cond) so
+    the loop body contains a single point-add instance -- halving the XLA
+    graph vs. two adds per window.
     """
+    if curve.glv is not None:
+        return _glv_dual_mul(curve, P, kp, Q, kq)
     if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.dual_mul(curve, P, kp, Q, kq)
@@ -421,8 +608,11 @@ def base_mul_add(curve: Curve, s, P, t):
     EC_POINT_mul(group, r, s, P, t, ctx) / the g^rho * X^ch verification
     pattern (`/root/reference/SEAL/bidder.cpp:128-130,255-296`).
 
-    Same interleaved single-add loop structure as dual_mul.
+    GLV curves split both scalars (see _glv_base_mul_add); otherwise same
+    interleaved single-add loop structure as dual_mul.
     """
+    if curve.glv is not None:
+        return _glv_base_mul_add(curve, s, P, t)
     if _pallas_ok(curve):
         from . import pallas_ec
         return pallas_ec.base_mul_add(curve, s, P, t)

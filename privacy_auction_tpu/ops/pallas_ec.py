@@ -364,7 +364,11 @@ def _scalar_mul_kernel(curve, P_ref, dk_ref, mc_ref, out_ref):
 
 
 def _dual_mul_kernel(curve, P_ref, dp_ref, Q_ref, dq_ref, mc_ref, out_ref):
+    """Straus dual ladder; window count = dp_ref.shape[0] (static), so the
+    same kernel serves the full 64-window dual mult and the 33-window GLV
+    half-ladders."""
     B = P_ref.shape[-1]
+    nw = dp_ref.shape[0]
     mc = mc_ref[:]
 
     def inner(tp_ref, tq_ref):
@@ -374,7 +378,7 @@ def _dual_mul_kernel(curve, P_ref, dp_ref, Q_ref, dq_ref, mc_ref, out_ref):
         tq = tq_ref[:]
 
         def body(i, acc):
-            w = WINDOWS - 1 - i
+            w = nw - 1 - i
             acc = _dbl4(curve, mc, acc)
             acc = _pt_add(
                 curve, mc, acc, _entry_select(tp, _dig_row(dp_ref, w))
@@ -383,7 +387,7 @@ def _dual_mul_kernel(curve, P_ref, dp_ref, Q_ref, dq_ref, mc_ref, out_ref):
                 curve, mc, acc, _entry_select(tq, _dig_row(dq_ref, w))
             )
 
-        out_ref[:] = jax.lax.fori_loop(0, WINDOWS, body, _pt_inf(B))
+        out_ref[:] = jax.lax.fori_loop(0, nw, body, _pt_inf(B))
 
     pl.run_scoped(
         inner,
@@ -395,6 +399,98 @@ def _dual_mul_kernel(curve, P_ref, dp_ref, Q_ref, dq_ref, mc_ref, out_ref):
 def _pt_add_kernel(curve, P_ref, Q_ref, mc_ref, out_ref):
     """Single batched complete point add (used to combine kernel outputs)."""
     out_ref[:] = _pt_add(curve, mc_ref[:], P_ref[:], Q_ref[:])
+
+
+def _quad_mul_kernel(curve, P1_ref, d1_ref, P2_ref, d2_ref, P3_ref, d3_ref,
+                     P4_ref, d4_ref, mc_ref, out_ref):
+    """Four-scalar Straus ladder: sum k_i * P_i over one shared doubling
+    chain.  This is the GLV form of dual_mul (kp*P + kq*Q split into four
+    half-length scalars), window count = d1_ref.shape[0] (static)."""
+    B = P1_ref.shape[-1]
+    nw = d1_ref.shape[0]
+    mc = mc_ref[:]
+
+    def inner(t1_ref, t2_ref, t3_ref, t4_ref):
+        _fill_table(curve, mc, t1_ref, P1_ref[:], B)
+        _fill_table(curve, mc, t2_ref, P2_ref[:], B)
+        _fill_table(curve, mc, t3_ref, P3_ref[:], B)
+        _fill_table(curve, mc, t4_ref, P4_ref[:], B)
+        tabs = (t1_ref[:], t2_ref[:], t3_ref[:], t4_ref[:])
+        digs = (d1_ref, d2_ref, d3_ref, d4_ref)
+
+        def body(i, acc):
+            w = nw - 1 - i
+            acc = _dbl4(curve, mc, acc)
+            for t, d in zip(tabs, digs):
+                acc = _pt_add(curve, mc, acc, _entry_select(t, _dig_row(d, w)))
+            return acc
+
+        out_ref[:] = jax.lax.fori_loop(0, nw, body, _pt_inf(B))
+
+    pl.run_scoped(
+        inner,
+        *(pltpu.VMEM((TSIZE, 3, LIMBS, B), U32) for _ in range(4)),
+    )
+
+
+def _base_mul_add_glv_kernel(curve, P1_ref, dt1_ref, P2_ref, dt2_ref,
+                             ds1_ref, ds2_ref, sflags_ref, g0f_ref, g0lf_ref,
+                             mc_ref, out_ref):
+    """GLV form of the g^s * P^t verification workhorse.
+
+    s and t are both endomorphism-split; the P side gets two per-lane
+    tables (wrapper passes sign-adjusted +-P and +-phi(P)); the generator
+    side uses the two constant window-0 tables (G and phi(G)) via exact
+    one-hot f32 matmuls, with per-lane Y-negation for negative s_i
+    (any (0:y:0), y != 0 is a valid infinity representative for the
+    complete formulas, so negating a fetched entry lane-wise is total).
+    """
+    B = P1_ref.shape[-1]
+    nw = dt1_ref.shape[0]
+    mc = mc_ref[:]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (TSIZE, B), 0)
+    sflags = sflags_ref[:]                            # (2, B) uint32
+
+    def g_entry(g0, ds_ref, w, sidx):
+        dig = ds_ref[pl.ds(w, 1), :]                  # (1, B)
+        onehot = (lane_iota == dig.astype(jnp.int32)).astype(jnp.float32)
+        ent_f = jax.lax.dot_general(
+            g0, onehot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                             # (48, B)
+        e = ent_f.astype(jnp.int32).astype(U32).reshape(3, LIMBS, B)
+        negy = _sub_f(mc, jnp.zeros_like(e[1]), e[1])
+        y = jnp.where(sflags[sidx : sidx + 1, :] != 0, negy, e[1])
+        return jnp.stack([e[0], y, e[2]])
+
+    def inner(t1_ref, t2_ref):
+        _fill_table(curve, mc, t1_ref, P1_ref[:], B)
+        _fill_table(curve, mc, t2_ref, P2_ref[:], B)
+        t1 = t1_ref[:]
+        t2 = t2_ref[:]
+        g0 = g0f_ref[:]
+        g0l = g0lf_ref[:]
+
+        def body(i, acc):
+            w = nw - 1 - i
+            acc = _dbl4(curve, mc, acc)
+            acc = _pt_add(curve, mc, acc, g_entry(g0, ds1_ref, w, 0))
+            acc = _pt_add(curve, mc, acc, g_entry(g0l, ds2_ref, w, 1))
+            acc = _pt_add(
+                curve, mc, acc, _entry_select(t1, _dig_row(dt1_ref, w))
+            )
+            return _pt_add(
+                curve, mc, acc, _entry_select(t2, _dig_row(dt2_ref, w))
+            )
+
+        out_ref[:] = jax.lax.fori_loop(0, nw, body, _pt_inf(B))
+
+    pl.run_scoped(
+        inner,
+        pltpu.VMEM((TSIZE, 3, LIMBS, B), U32),
+        pltpu.VMEM((TSIZE, 3, LIMBS, B), U32),
+    )
 
 
 def _base_mul_add_kernel(curve, P_ref, dt_ref, ds_ref, g0f_ref, mc_ref,
@@ -609,6 +705,13 @@ def scalar_mul(curve, P, k):
 
 
 def dual_mul(curve, P, kp, Q, kq):
+    return dual_mul_windows(curve, P, kp, Q, kq, WINDOWS)
+
+
+def dual_mul_windows(curve, P, kp, Q, kq, windows: int):
+    """kp*P + kq*Q over the low `windows` 4-bit windows of each scalar
+    (callers guarantee the higher windows are zero; the GLV split passes
+    33 windows for its 132-bit magnitudes)."""
     batch = jnp.broadcast_shapes(
         P.shape[:-2], Q.shape[:-2], kp.shape[:-1], kq.shape[:-1]
     )
@@ -619,11 +722,83 @@ def dual_mul(curve, P, kp, Q, kq):
     n = Pf.shape[0]
     out = _grid_call(
         _dual_mul_kernel, curve, n,
-        [_to_rows_pt(Pf, n), _to_digit_rows(kpf, n),
-         _to_rows_pt(Qf, n), _to_digit_rows(kqf, n)], (2, 1, 2, 1),
+        [_to_rows_pt(Pf, n), _to_digit_rows(kpf, n)[:windows],
+         _to_rows_pt(Qf, n), _to_digit_rows(kqf, n)[:windows]], (2, 1, 2, 1),
         const_inputs=(_mc(curve),),
     )
     return _from_rows_pt(out, n).reshape(batch + (3, LIMBS))
+
+
+def quad_mul_windows(curve, P1, k1, P2, k2, P3, k3, P4, k4, windows: int):
+    """sum k_i * P_i, one shared doubling chain (GLV dual_mul form)."""
+    batch = jnp.broadcast_shapes(
+        *(p.shape[:-2] for p in (P1, P2, P3, P4)),
+        *(k.shape[:-1] for k in (k1, k2, k3, k4)),
+    )
+    args = []
+    dims = []
+    for P, k in ((P1, k1), (P2, k2), (P3, k3), (P4, k4)):
+        Pf, _ = _flatten(jnp.broadcast_to(P, batch + (3, LIMBS)), 2)
+        kf, _ = _flatten(jnp.broadcast_to(k, batch + (LIMBS,)), 1)
+        n = Pf.shape[0]
+        args += [_to_rows_pt(Pf, n), _to_digit_rows(kf, n)[:windows]]
+        dims += [2, 1]
+    out = _grid_call(
+        _quad_mul_kernel, curve, n, args, tuple(dims),
+        const_inputs=(_mc(curve),),
+    )
+    return _from_rows_pt(out, n).reshape(batch + (3, LIMBS))
+
+
+@functools.lru_cache(maxsize=None)
+def _g0l_table_np(curve) -> np.ndarray:
+    """Window-0 comb table of phi(G) = lam*G as (48, 16) f32: the
+    beta-transformed x rows of the G table (cached as numpy -- see
+    _g0_table_np)."""
+    glv = curve.glv
+    t = np.array(curve.comb_table[0], dtype=np.uint64)     # (16, 3, 16)
+    host = curve.host
+    for d in range(TSIZE):
+        x = int(sum(int(t[d, 0, i]) << (16 * i) for i in range(LIMBS)))
+        xb = x * glv.beta % host.p
+        for i in range(LIMBS):
+            t[d, 0, i] = (xb >> (16 * i)) & 0xFFFF
+    tf = t.astype(np.float32).reshape(TSIZE, 3 * LIMBS)
+    return np.ascontiguousarray(np.moveaxis(tf, 0, 1))
+
+
+def base_mul_add_glv(curve, P1, t1, P2, t2, s1, s2, sflags, windows: int):
+    """g^s * P^t with both scalars GLV-split: P1/P2 = sign-adjusted
+    +-P/+-phi(P) with magnitudes t1/t2; s1/s2 = |s| halves with signs in
+    sflags (..., 2) uint32."""
+    batch = jnp.broadcast_shapes(
+        P1.shape[:-2], P2.shape[:-2], t1.shape[:-1], t2.shape[:-1],
+        s1.shape[:-1], s2.shape[:-1], sflags.shape[:-1],
+    )
+    P1f, _ = _flatten(jnp.broadcast_to(P1, batch + (3, LIMBS)), 2)
+    P2f, _ = _flatten(jnp.broadcast_to(P2, batch + (3, LIMBS)), 2)
+    t1f, _ = _flatten(jnp.broadcast_to(t1, batch + (LIMBS,)), 1)
+    t2f, _ = _flatten(jnp.broadcast_to(t2, batch + (LIMBS,)), 1)
+    s1f, _ = _flatten(jnp.broadcast_to(s1, batch + (LIMBS,)), 1)
+    s2f, _ = _flatten(jnp.broadcast_to(s2, batch + (LIMBS,)), 1)
+    sff, _ = _flatten(jnp.broadcast_to(sflags, batch + (2,)), 1)
+    n = P1f.shape[0]
+    sfr = jnp.moveaxis(sff, 0, -1)  # (2, n); _grid_call pads the lane axis
+    out = _grid_call(
+        _base_mul_add_glv_kernel, curve, n,
+        [_to_rows_pt(P1f, n), _to_digit_rows(t1f, n)[:windows],
+         _to_rows_pt(P2f, n), _to_digit_rows(t2f, n)[:windows],
+         _to_digit_rows(s1f, n)[:windows], _to_digit_rows(s2f, n)[:windows],
+         sfr],
+        (2, 1, 2, 1, 1, 1, 1),
+        const_inputs=(_g0_table_f32(curve), _g0l_table_f32(curve),
+                      _mc(curve)),
+    )
+    return _from_rows_pt(out, n).reshape(batch + (3, LIMBS))
+
+
+def _g0l_table_f32(curve):
+    return jnp.asarray(_g0l_table_np(curve))
 
 
 @functools.lru_cache(maxsize=None)

@@ -78,3 +78,29 @@ def validate_pallas_kernels(curve: Curve, lanes: int = 8, seed: int = 0):
     got = _host_decode(curve, jax.jit(lambda k: PE.mul_base(curve, k))(k))
     want = [host.mul(ki, host.g) for ki in ks]
     assert got == want, "pallas mul_base mismatch"
+
+    if curve.glv is None:
+        return
+
+    # GLV dispatch layer: on a pallas-capable platform these exercise the
+    # endomorphism-split kernels (dual_mul_windows / quad_mul_windows /
+    # base_mul_add_glv) that the protocols actually run on GLV curves.
+    got = _host_decode(curve, jax.jit(
+        lambda P, k: ec.scalar_mul(curve, P, k))(P, k))
+    want = [host.mul(ki, Pi) if Pi is not None else None
+            for ki, Pi in zip(ks, P_host)]
+    assert got == want, "glv scalar_mul mismatch"
+
+    got = _host_decode(curve, jax.jit(
+        lambda P, k, Q, t: ec.dual_mul(curve, P, k, Q, t))(P, k, Q, t))
+    want = [host.add(host.mul(ki, Pi) if Pi is not None else None,
+                     host.mul(ti, Qi) if Qi is not None else None)
+            for ki, Pi, ti, Qi in zip(ks, P_host, ts, Q_host)]
+    assert got == want, "glv dual_mul mismatch"
+
+    got = _host_decode(curve, jax.jit(
+        lambda s, P, t: ec.base_mul_add(curve, s, P, t))(k, P, t))
+    want = [host.add(host.mul(ki, host.g),
+                     host.mul(ti, Pi) if Pi is not None else None)
+            for ki, Pi, ti in zip(ks, P_host, ts)]
+    assert got == want, "glv base_mul_add mismatch"
