@@ -118,7 +118,10 @@ def bench_auctions(trend: bool = False):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=16384,
+                    help="scalar-mult lanes per dispatch; 16384 amortizes "
+                         "the per-call dispatch overhead (throughput "
+                         "plateau on v5e)")
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true",
                     help="skip the auction wall-clock benches")

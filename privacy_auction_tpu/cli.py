@@ -10,14 +10,33 @@ exit 0 on success / 1 on failure.
 from __future__ import annotations
 
 import argparse
+import contextlib
 import sys
 import time
 
 import numpy as np
 
+from .utils import log
+
+
+@contextlib.contextmanager
+def _maybe_profile(profile_dir):
+    """jax.profiler trace around the metered run when --profile is given
+    (the TPU-native counterpart of the reference's TimeTracker-only
+    instrumentation, SURVEY.md section 5): view with TensorBoard or
+    xprof against the written directory."""
+    if not profile_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(profile_dir):
+        yield
+    log.info(f"profiler trace written to {profile_dir}")
+
 
 def run_seal(n: int, c: int, seed: int, verify: bool,
-             warmup: bool = True) -> int:
+             warmup: bool = True, profile_dir: str | None = None) -> int:
     import jax
 
     from .curves import SECP256K1 as CURVE
@@ -40,10 +59,11 @@ def run_seal(n: int, c: int, seed: int, verify: bool,
         seal.run_auction(CURVE, jax.random.key(seed + 1), bids, c,
                          verify=verify, times=T.TimeTracker())
     t0 = time.perf_counter()
-    res = seal.run_auction(
-        CURVE, jax.random.key(seed), bids, c, verify=verify, trackers=comm,
-        times=times,
-    )
+    with _maybe_profile(profile_dir):
+        res = seal.run_auction(
+            CURVE, jax.random.key(seed), bids, c, verify=verify,
+            trackers=comm, times=times,
+        )
     wall = time.perf_counter() - t0
 
     # Report mirrors `/root/reference/SEAL/main.cpp:128-149`.  Time
@@ -52,30 +72,32 @@ def run_seal(n: int, c: int, seed: int, verify: bool,
     # batched verify pass checks every proof once, which is exactly one
     # reference verifier's workload (the n-fold re-verification is
     # redundant compute with identical results), so it is NOT divided.
-    print(f"[SEAL] #bidders: n = {n}, bit length of bids: c = {c}")
-    print(f"[SEAL] Time (one bidder): "
-          f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / n:.6f} s.")
-    print(f"[SEAL] Time (one verifier): "
-          f"{times.get_category_time_seconds(T.CATEGORY_VERIFIER):.6f} s.")
-    print(f"[SEAL] Data (one bidder): "
-          f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / n:.6f} MB")
-    print(f"[SEAL] Data (one verifier): "
-          f"{data.get_category_data_mb(T.CATEGORY_VERIFIER) / n:.6f} MB")
-    print(f"[SEAL] Data (total communication, #bidders={n}, #verifiers={n}): "
-          f"{data.get_total_data_mb():.6f} MB")
-    print(f"[SEAL] wall-clock: {wall:.3f} s")
+    log.message(f"[SEAL] #bidders: n = {n}, bit length of bids: c = {c}")
+    log.message(f"[SEAL] Time (one bidder): "
+                f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / n:.6f}"
+                " s.")
+    log.message(f"[SEAL] Time (one verifier): "
+                f"{times.get_category_time_seconds(T.CATEGORY_VERIFIER):.6f}"
+                " s.")
+    log.message(f"[SEAL] Data (one bidder): "
+                f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / n:.6f} MB")
+    log.message(f"[SEAL] Data (one verifier): "
+                f"{data.get_category_data_mb(T.CATEGORY_VERIFIER) / n:.6f} MB")
+    log.message(f"[SEAL] Data (total communication, #bidders={n}, "
+                f"#verifiers={n}): {data.get_total_data_mb():.6f} MB")
+    log.message(f"[SEAL] wall-clock: {wall:.3f} s")
     if res.max_bid != max(bids):
-        print(f"[SEAL] FAIL: maxBid {res.max_bid} != {max(bids)}",
-              file=sys.stderr)
+        log.error(f"[SEAL] maxBid {res.max_bid} != {max(bids)}")
         return 1
     if verify and not res.verified:
-        print("[SEAL] FAIL: NIZK verification failed", file=sys.stderr)
+        log.error("[SEAL] NIZK verification failed")
         return 1
-    print(f"[SEAL] OK: maxBid = {res.max_bid}")
+    log.message(f"[SEAL] OK: maxBid = {res.max_bid}")
     return 0
 
 
-def run_ccs22(n: int, c: int, seed: int, warmup: bool = True) -> int:
+def run_ccs22(n: int, c: int, seed: int, warmup: bool = True,
+              profile_dir: str | None = None) -> int:
     import jax
 
     from .curves import SECP256K1 as CURVE
@@ -96,36 +118,40 @@ def run_ccs22(n: int, c: int, seed: int, warmup: bool = True) -> int:
         ccs22.run_auction(CURVE, jax.random.key(seed + 1), bids, c, eval_id,
                           times=T.TimeTracker())
     t0 = time.perf_counter()
-    res = ccs22.run_auction(
-        CURVE, jax.random.key(seed), bids, c, eval_id, trackers=comm,
-        times=times,
-    )
+    with _maybe_profile(profile_dir):
+        res = ccs22.run_auction(
+            CURVE, jax.random.key(seed), bids, c, eval_id, trackers=comm,
+            times=times,
+        )
     wall = time.perf_counter() - t0
 
     # Report mirrors `/root/reference/CCS22/main.cpp:140-167`: n-1 common
     # bidders, 1 evaluator, plus the shared bidder_and_evaluator category
     # (CRS download) split per party.
     shared_mb = data.get_category_data_mb(T.CATEGORY_BIDDER_AND_EVALUATOR)
-    print(f"[CCS22] #bidders: n = {n}, bit length of bids: c = {c}")
-    print(f"[CCS22] Time (one bidder): "
-          f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / max(n - 1, 1):.6f}"
-          " s.")
-    print(f"[CCS22] Time (one evaluator): "
-          f"{times.get_category_time_seconds(T.CATEGORY_EVALUATOR):.6f} s.")
-    print(f"[CCS22] Data (one bidder): "
-          f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / max(n - 1, 1) + shared_mb / n:.6f}"
-          " MB")
-    print(f"[CCS22] Data (one evaluator): "
-          f"{data.get_category_data_mb(T.CATEGORY_EVALUATOR) + shared_mb / n:.6f}"
-          " MB")
-    print(f"[CCS22] Data (total communication, #bidders={n - 1}, "
-          f"#evaluators=1): {data.get_total_data_mb():.6f} MB")
-    print(f"[CCS22] wall-clock: {wall:.3f} s")
+    log.message(f"[CCS22] #bidders: n = {n}, bit length of bids: c = {c}")
+    log.message(
+        f"[CCS22] Time (one bidder): "
+        f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / max(n - 1, 1):.6f}"
+        " s.")
+    log.message(
+        f"[CCS22] Time (one evaluator): "
+        f"{times.get_category_time_seconds(T.CATEGORY_EVALUATOR):.6f} s.")
+    log.message(
+        f"[CCS22] Data (one bidder): "
+        f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / max(n - 1, 1) + shared_mb / n:.6f}"
+        " MB")
+    log.message(
+        f"[CCS22] Data (one evaluator): "
+        f"{data.get_category_data_mb(T.CATEGORY_EVALUATOR) + shared_mb / n:.6f}"
+        " MB")
+    log.message(f"[CCS22] Data (total communication, #bidders={n - 1}, "
+                f"#evaluators=1): {data.get_total_data_mb():.6f} MB")
+    log.message(f"[CCS22] wall-clock: {wall:.3f} s")
     if res.max_bid != max(bids):
-        print(f"[CCS22] FAIL: maxBid {res.max_bid} != {max(bids)}",
-              file=sys.stderr)
+        log.error(f"[CCS22] maxBid {res.max_bid} != {max(bids)}")
         return 1
-    print(f"[CCS22] OK: maxBid = {res.max_bid} (evaluator {eval_id})")
+    log.message(f"[CCS22] OK: maxBid = {res.max_bid} (evaluator {eval_id})")
     return 0
 
 
@@ -140,6 +166,9 @@ def main(argv=None) -> int:
         p.add_argument("--cold", action="store_true",
                        help="skip the untimed warm-up run (reported "
                             "per-role times then include JIT compile)")
+        p.add_argument("--profile", metavar="DIR", default=None,
+                       help="write a jax.profiler trace of the metered "
+                            "run to DIR (view with TensorBoard/xprof)")
         if name == "seal":
             p.add_argument("--no-verify", action="store_true",
                            help="disable NIZK verification "
@@ -148,8 +177,9 @@ def main(argv=None) -> int:
     seed = args.seed if args.seed is not None else int(time.time()) & 0xFFFF
     if args.protocol == "seal":
         return run_seal(args.n, args.c, seed, not args.no_verify,
-                        warmup=not args.cold)
-    return run_ccs22(args.n, args.c, seed, warmup=not args.cold)
+                        warmup=not args.cold, profile_dir=args.profile)
+    return run_ccs22(args.n, args.c, seed, warmup=not args.cold,
+                     profile_dir=args.profile)
 
 
 if __name__ == "__main__":

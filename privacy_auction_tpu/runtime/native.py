@@ -209,13 +209,26 @@ class BoardServer:
 
 
 class BoardClient:
-    """Party-process handle to a served board (post/fetch over the socket)."""
+    """Party-process handle to a served board (post/fetch over the socket).
 
-    def __init__(self, sock_path: str):
+    Connection is retried until connect_timeout_s: party processes may
+    come up before the hub finishes binding (or, under load, the hub's
+    accept loop may lag), and a party that gives up on first refusal
+    would wedge the whole auction.
+    """
+
+    def __init__(self, sock_path: str, connect_timeout_s: float = 10.0):
+        import time as _time
+
         self._lib = _load()
-        self._ptr = self._lib.pa_client_connect(sock_path.encode())
-        if not self._ptr:
-            raise OSError(f"cannot connect to board at {sock_path}")
+        deadline = _time.monotonic() + connect_timeout_s
+        while True:
+            self._ptr = self._lib.pa_client_connect(sock_path.encode())
+            if self._ptr:
+                break
+            if _time.monotonic() > deadline:
+                raise OSError(f"cannot connect to board at {sock_path}")
+            _time.sleep(0.05)
 
     def close(self):
         ptr, self._ptr = getattr(self, "_ptr", None), None

@@ -14,10 +14,14 @@ import os
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     xla_flags += " --xla_force_host_platform_device_count=8"
-# Tests check correctness, not CPU throughput: skip the expensive LLVM
-# optimization passes (2-3x faster XLA:CPU compiles of the big crypto
-# kernels; runtime slowdown is irrelevant at test shapes).
-if "xla_backend_optimization_level" not in xla_flags:
+# Skip the expensive LLVM optimization passes: 2-3x faster XLA:CPU
+# compiles of the big crypto kernels; runtime slowdown is irrelevant at
+# test shapes.  Safe only because compiled programs are dropped between
+# modules (see _drop_compiled_programs_between_modules below); opt out
+# with PA_TPU_NO_FAST_COMPILE=1.
+if not os.environ.get("PA_TPU_NO_FAST_COMPILE") and (
+    "xla_backend_optimization_level" not in xla_flags
+):
     xla_flags += (
         " --xla_backend_optimization_level=0"
         " --xla_llvm_disable_expensive_passes=true"
@@ -40,16 +44,17 @@ try:
         _boot = f.read().strip()
 except OSError:
     _boot = "noboot"
-# Per-xdist-worker cache subdirectory: two workers sharing one cache dir
-# have segfaulted inside the cache (zstandard) under concurrent
-# read/write; loadfile distribution keeps each file on a stable worker,
-# so per-worker caches still get warm across runs.
-_worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
-jax.config.update(
-    "jax_compilation_cache_dir", f"/tmp/pa_tpu_jax_cache_{_boot}_{_worker}"
-)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# Per-xdist-worker cache subdirectory (loadfile distribution keeps each
+# file on a stable worker, so per-worker caches still get warm across
+# runs).  PA_TPU_NO_COMPILE_CACHE=1 disables the persistent cache
+# entirely (diagnostic escape hatch).
+if not os.environ.get("PA_TPU_NO_COMPILE_CACHE"):
+    _worker = os.environ.get("PYTEST_XDIST_WORKER", "main")
+    jax.config.update(
+        "jax_compilation_cache_dir", f"/tmp/pa_tpu_jax_cache_{_boot}_{_worker}"
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import random
 
@@ -65,3 +70,23 @@ def rng():
 @pytest.fixture
 def nprng():
     return np.random.default_rng(0xC0FFEE)
+
+
+@pytest.fixture(autouse=True)
+def _drop_compiled_programs_between_tests():
+    """Release compiled XLA executables after every test.
+
+    The crypto kernels compile to very large CPU programs; once a few
+    dozen accumulate in one process, the NEXT compile segfaults inside
+    XLA:CPU (reproduced deterministically: serial and xdist, persistent
+    cache on or off, opt flags on or off, stack limit raised -- and a
+    single heavy module can reach the budget on its own, e.g. the third
+    (n, c) sweep config).  Dropping the executables after each test
+    bounds live compiled code to one test's worth; recompiles in later
+    tests reload from the persistent cache cheaply (no LLVM).
+    """
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()

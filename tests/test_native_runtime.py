@@ -53,7 +53,7 @@ def test_overwrite_posts():
 def _client_party(sock, pid, payload):
     cl = native.BoardClient(sock)
     cl.post(native.PHASE_COMMIT, 0, pid, payload)
-    other = cl.fetch_wait(native.PHASE_COMMIT, 0, 1 - pid, timeout_s=20.0)
+    other = cl.fetch_wait(native.PHASE_COMMIT, 0, 1 - pid, timeout_s=120.0)
     cl.post(native.PHASE_ROUND1, 0, pid, other, "echo")
     cl.close()
 
@@ -76,7 +76,7 @@ def test_board_served_across_processes(tmp_path):
         for p in procs:
             p.start()
         for p in procs:
-            p.join(timeout=30)
+            p.join(timeout=180)  # generous: CI may heavily oversubscribe
             assert p.exitcode == 0
         # each party echoed the other's payload back under a new phase
         assert board.fetch(native.PHASE_ROUND1, 0, 0) == payloads[1]

@@ -95,3 +95,15 @@ def test_seal_mesh_indivisible_raises():
         assert "divisible" in str(e)
     else:
         raise AssertionError("expected ValueError for n % mesh size != 0")
+
+
+def test_distributed_helpers_single_process():
+    """jax.distributed bring-up helper degrades cleanly to one process."""
+    from privacy_auction_tpu.parallel import distributed as D
+
+    assert D.init() is False  # no coordinator configured
+    mesh = D.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    info = D.process_info()
+    assert info["process_count"] == 1 and info["process_index"] == 0
+    assert info["global_devices"] >= info["local_devices"]

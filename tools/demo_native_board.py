@@ -69,7 +69,8 @@ def run_party(sock_path: str, pid: int, n: int, c: int, bid: int,
         r = rng.randrange(1, HOST.n)
         cl.post(PHASE_ROUND1, step, pid, _ser(HOST.mul(x, HOST.g)))
         Xs = [
-            _deser(cl.fetch_wait(PHASE_ROUND1, step, j)) for j in range(n)
+            _deser(cl.fetch_wait(PHASE_ROUND1, step, j, timeout_s=120.0))
+            for j in range(n)
         ]
         # AV-net key Y_pid = sum_{j<pid} X_j - sum_{j>pid} X_j
         # (`SEAL/bidder.cpp:1286-1299`)
@@ -84,7 +85,10 @@ def run_party(sock_path: str, pid: int, n: int, c: int, bid: int,
         cl.post(PHASE_ROUND2, step, pid, _ser(b))
         total = None
         for j in range(n):
-            total = HOST.add(total, _deser(cl.fetch_wait(PHASE_ROUND2, step, j)))
+            total = HOST.add(
+                total,
+                _deser(cl.fetch_wait(PHASE_ROUND2, step, j, timeout_s=120.0)),
+            )
         # round 3: deciding step iff the veto sum is not infinity
         # (`SEAL/bidder.cpp:1386-1411`)
         deciding = total is not None
