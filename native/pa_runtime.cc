@@ -214,7 +214,29 @@ struct Server {
   int listen_fd = -1;
   std::thread accept_thread;
   std::string path;
+  // Live connection bookkeeping so pa_server_stop can shut down and JOIN
+  // every per-connection thread before the caller frees the Board (a
+  // detached straggler -- e.g. a crashed party holding its socket open --
+  // would otherwise race pa_board_free into a use-after-free).
+  std::mutex conn_mu;
+  std::vector<int> conn_fds;
+  std::vector<std::thread> conn_threads;
+  bool stopping = false;
 };
+
+// Size + copy under ONE board lock (a concurrent overwrite-post between a
+// separate size query and fetch could otherwise grow the message and turn
+// the fetch into a spurious -2).  Meters the download like pa_board_fetch.
+int64_t board_fetch_copy(Board *b, int32_t phase, int32_t round, int64_t party,
+                         std::vector<uint8_t> &out, const char *category) {
+  std::lock_guard<std::mutex> lock(b->mu);
+  auto it = b->messages.find({phase, round, party});
+  if (it == b->messages.end()) return -1;
+  const auto &p = it->second.payload;
+  out.assign(p.begin(), p.end());
+  bytes_slot(b, category) += static_cast<int64_t>(p.size());
+  return static_cast<int64_t>(p.size());
+}
 
 void serve_conn(Board *board, int fd) {
   std::vector<uint8_t> cat, payload, out;
@@ -238,19 +260,13 @@ void serve_conn(Board *board, int fd) {
                                     static_cast<int64_t>(payload.size()),
                                     category);
         break;
-      case 2: {  // FETCH
-        int64_t size = pa_board_size(board, h.phase, h.round, h.party);
-        if (size < 0) {
-          resp.status = -1;
-        } else {
-          out.resize(static_cast<size_t>(size));
-          resp.status = pa_board_fetch(board, h.phase, h.round, h.party,
-                                       out.data(), size, category);
-          if (resp.status >= 0)
-            resp.payload_len = static_cast<uint32_t>(resp.status);
-          else
-            out.clear();
-        }
+      case 2: {  // FETCH (atomic size+copy under one board lock)
+        resp.status =
+            board_fetch_copy(board, h.phase, h.round, h.party, out, category);
+        if (resp.status >= 0)
+          resp.payload_len = static_cast<uint32_t>(resp.status);
+        else
+          out.clear();
         break;
       }
       case 3:  // BYTES
@@ -302,7 +318,13 @@ Server *pa_server_start(Board *board, const char *path) {
     for (;;) {
       int conn = ::accept(s->listen_fd, nullptr, nullptr);
       if (conn < 0) break;  // listen fd closed: shut down
-      std::thread(serve_conn, s->board, conn).detach();
+      std::lock_guard<std::mutex> lock(s->conn_mu);
+      if (s->stopping) {
+        ::close(conn);
+        break;
+      }
+      s->conn_fds.push_back(conn);
+      s->conn_threads.emplace_back(serve_conn, s->board, conn);
     }
   });
   return s;
@@ -313,6 +335,17 @@ void pa_server_stop(Server *s) {
   ::shutdown(s->listen_fd, SHUT_RDWR);
   ::close(s->listen_fd);
   if (s->accept_thread.joinable()) s->accept_thread.join();
+  {
+    // Wake every in-flight connection (their reads fail and the serve
+    // loops exit; serve_conn owns the close) ...
+    std::lock_guard<std::mutex> lock(s->conn_mu);
+    s->stopping = true;
+    for (int fd : s->conn_fds) ::shutdown(fd, SHUT_RDWR);
+  }
+  // ... then JOIN them all: after this returns no thread can touch the
+  // Board, so the caller may safely pa_board_free it.
+  for (auto &t : s->conn_threads)
+    if (t.joinable()) t.join();
   ::unlink(s->path.c_str());
   delete s;
 }

@@ -103,6 +103,7 @@ class GlvParams:
 
     lam: int               # scalar of the endomorphism, order 3 mod n
     beta: int              # x-coordinate multiplier, order 3 mod p
+    n: int                 # group order (for host-side decomposition)
     # lattice basis (a1, b1), (a2, b2): ai + bi*lam = 0 mod n
     a1: int
     b1: int
@@ -123,14 +124,11 @@ class GlvParams:
     def decompose_host(self, k: int):
         """Reference decomposition in exact ints (oracle for tests):
         returns (k1, k2) signed with k1 + k2*lam = k mod n."""
-        c1 = _round_div(self.b2 * k, _N_OF[id(self)])
-        c2 = _round_div(-self.b1 * k, _N_OF[id(self)])
+        c1 = _round_div(self.b2 * k, self.n)
+        c2 = _round_div(-self.b1 * k, self.n)
         k1 = k - c1 * self.a1 - c2 * self.a2
         k2 = -c1 * self.b1 - c2 * self.b2
         return k1, k2
-
-
-_N_OF: dict = {}  # GlvParams id -> group order (kept out of the dataclass)
 
 
 def _round_div(a: int, b: int) -> int:
@@ -195,7 +193,7 @@ def derive_glv_params(host: HostCurve) -> GlvParams | None:
     assert 0 <= g1 < (1 << 160) and 0 <= g2 < (1 << 160)
 
     params = GlvParams(
-        lam=lam, beta=beta, a1=a1, b1=b1, a2=a2, b2=b2, g1=g1, g2=g2,
+        lam=lam, beta=beta, n=n, a1=a1, b1=b1, a2=a2, b2=b2, g1=g1, g2=g2,
         beta_limbs=F.int_to_limbs(beta),
         a1n_limbs=F.int_to_limbs(a1 % n),
         a2n_limbs=F.int_to_limbs(a2 % n),
@@ -204,7 +202,6 @@ def derive_glv_params(host: HostCurve) -> GlvParams | None:
         g1_limbs=F.int_to_limbs(g1, 10),
         g2_limbs=F.int_to_limbs(g2, 10),
     )
-    _N_OF[id(params)] = n
     # end-to-end sanity on a few scalars
     for k in (0, 1, n - 1, 0xDEADBEEF, (1 << 255) - 19):
         k1, k2 = params.decompose_host(k)

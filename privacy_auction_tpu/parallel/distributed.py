@@ -37,12 +37,16 @@ def init(coordinator_address: str | None = None,
     """Initialize jax.distributed for a multi-process/multi-host job.
 
     Arguments default from the environment (JAX_COORDINATOR_ADDRESS /
-    JAX_NUM_PROCESSES / JAX_PROCESS_ID, falling back to jax's own
-    cluster auto-detection for TPU pods).  Returns True if a process
-    group was initialized, False for single-process operation (no
-    coordinator configured -- the degenerate case tests exercise).
+    JAX_NUM_PROCESSES / JAX_PROCESS_ID).  When none are configured,
+    PA_TPU_DISTRIBUTED=1 opts into jax's own cluster auto-detection
+    (`jax.distributed.initialize()` with no arguments -- the standard
+    TPU-pod launch path); otherwise the call is a single-process no-op.
+    The opt-in gate keeps plain single-host runs (and tests) from
+    blocking on a coordinator that will never appear.
 
-    Safe to call more than once; only the first call initializes.
+    Returns True if a process group was initialized, False for
+    single-process operation.  Safe to call more than once; only the
+    first call initializes.
     """
     global _initialized
     if _initialized:
@@ -57,8 +61,10 @@ def init(coordinator_address: str | None = None,
     if process_id is None and env_pid is not None:
         process_id = int(env_pid)
     if coordinator_address is None and num_processes is None:
-        # TPU pods auto-detect through the cluster environment; only
-        # attempt it when jax reports a non-trivial process count hint.
+        if os.environ.get("PA_TPU_DISTRIBUTED") == "1":
+            jax.distributed.initialize()  # pod/cluster auto-detection
+            _initialized = True
+            return True
         return False
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
