@@ -8,9 +8,17 @@ baseline is OpenSSL secp256k1 arbitrary-base EC_POINT_mul on one Xeon core:
 
 Before timing anything, every Pallas kernel is differentially validated
 against the pure-int host oracle on this platform (nonzero exit on any
-mismatch; `kernels_validated` in the JSON records it).  Auction
-wall-clocks at the BASELINE.md configs (SEAL 4x8 / 20x32, CCS22 8x16 /
-64x32) run by default and land in the JSON line next to the headline.
+mismatch; `kernels_validated` in the JSON records it).
+
+The JSON line also carries:
+  * per-kernel ops/s for every ladder the protocols ride (mul_base /
+    scalar_mul / dual_mul / base_mul_add) plus the raw field-mul
+    throughput and a roofline ratio (measured ladder throughput vs the
+    analytic field-mul budget) -- so "fast" is checkable per round;
+  * auction wall-clocks at the BASELINE.md configs (SEAL 4x8 / 20x32,
+    CCS22 8x16 / 64x32), a SEAL throughput trend over n at c=32, and the
+    BASELINE.md north-star scale: SEAL and CCS22 at 1024 bidders x
+    64-bit bids, verification on, max bid asserted against plaintext.
 """
 
 import argparse
@@ -40,6 +48,23 @@ BASELINE_SCALAR_MUL_OPS = 2641.0  # OpenSSL, 1 Xeon core (BASELINE.md)
 BASELINE_SEAL_20x32_S = 162.0     # reference wall-clock (BASELINE.md)
 BASELINE_CCS22_64x32_S = 12.0     # reference wall-clock (BASELINE.md)
 
+# Analytic field-mul budgets per ladder op (roofline denominators).
+# Derivation (ops/ec.py kernels, RCB16 complete formulas: add = 12M, a=0
+# dbl = 9M):  GLV ladders cover 132 signed bits in 33 4-bit windows of
+# 4 dbl + (1 table add per point stream); epilogue ~ 1 inversion (~265M).
+#   scalar_mul  (GLV, 2 streams): 33*(4*9 + 2*12) + 300 ~= 2280 M
+#   dual_mul    (GLV, 4 streams): 33*(4*9 + 4*12) + 300 ~= 3070 M
+#   base_mul_add (comb + GLV):    fixed-base comb (64 adds) + GLV arb-base
+#                                 interleaved ~= 33*36 + 64*12 + 2*33*12 + 300
+#                                 ~= 3050 M
+#   mul_base    (64-window comb): 64*12 + 300 ~= 1070 M
+FIELDMULS_PER = {
+    "mul_base": 1070.0,
+    "scalar_mul": 2280.0,
+    "dual_mul": 3070.0,
+    "base_mul_add": 3050.0,
+}
+
 
 def validate_kernels() -> bool:
     """Differentially validate every Pallas kernel on this platform before
@@ -54,6 +79,63 @@ def validate_kernels() -> bool:
     return True
 
 
+def _throughput(fn, args, batch, iters, reps=3):
+    """Best-of-reps steady-state ops/s for a jitted fn over `batch` lanes.
+
+    Hard sync via host transfer (axon: block_until_ready can return before
+    execution completes -- round 1's 113M ops/s was that artifact).
+    """
+    out = fn(*args)
+    _ = np.asarray(jax.tree.leaves(out)[0])
+    best = 0.0
+    for _rep in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        _ = np.asarray(jax.tree.leaves(out)[0])
+        dt = time.perf_counter() - t0
+        best = max(best, batch * iters / dt)
+    return best
+
+
+def bench_kernels(batch: int, iters: int = 8) -> dict:
+    """Per-kernel ops/s for every ladder the protocols ride, plus the raw
+    256-bit field-mul throughput and roofline ratios (VERDICT r4 item 3).
+    """
+    from privacy_auction_tpu.curves import SECP256K1 as CURVE
+    from privacy_auction_tpu.ops import ec, field as F
+
+    key = jax.random.key(0)
+    ks = jax.random.split(key, 4)
+    k = F.random(CURVE.fn, ks[0], (batch,))
+    t = F.random(CURVE.fn, ks[1], (batch,))
+    P = jax.block_until_ready(ec.mul_base(CURVE, F.random(CURVE.fn, ks[2], (batch,))))
+    Q = jax.block_until_ready(ec.mul_base(CURVE, F.random(CURVE.fn, ks[3], (batch,))))
+
+    out = {}
+    out["mul_base"] = _throughput(
+        jax.jit(lambda s: ec.mul_base(CURVE, s)), (k,), batch, iters)
+    out["scalar_mul"] = _throughput(
+        jax.jit(lambda p, s: ec.scalar_mul(CURVE, p, s)), (P, k), batch, iters)
+    out["dual_mul"] = _throughput(
+        jax.jit(lambda p, s, q, u: ec.dual_mul(CURVE, p, s, q, u)),
+        (P, k, Q, t), batch, iters)
+    out["base_mul_add"] = _throughput(
+        jax.jit(lambda s, p, u: ec.base_mul_add(CURVE, s, p, u)),
+        (k, P, t), batch, iters)
+    # raw 256-bit modular multiply (the roofline numerator): much larger
+    # batch since one op is tiny
+    fbatch = batch * 64
+    a = F.random(CURVE.fp, ks[0], (fbatch,))
+    b = F.random(CURVE.fp, ks[1], (fbatch,))
+    out["field_mul"] = _throughput(
+        jax.jit(lambda x, y: F.mul(CURVE.fp, x, y)), (a, b), fbatch, 4)
+    for name, budget in FIELDMULS_PER.items():
+        ceiling = out["field_mul"] / budget
+        out[f"{name}_roofline_frac"] = out[name] / ceiling if ceiling else 0.0
+    return out
+
+
 def bench_scalar_mul(batch: int, iters: int = 8) -> float:
     from privacy_auction_tpu.curves import SECP256K1 as CURVE
     from privacy_auction_tpu.ops import ec, field as F
@@ -64,37 +146,30 @@ def bench_scalar_mul(batch: int, iters: int = 8) -> float:
     base_scalars = F.random(CURVE.fn, k2, (batch,))
     P = ec.mul_base(CURVE, base_scalars)
     P = jax.block_until_ready(P)
-
-    fn = jax.jit(lambda p, s: ec.scalar_mul(CURVE, p, s))
-    out = fn(P, k)
-    _ = np.asarray(out)  # hard sync: device->host transfer, not just
-    # block_until_ready (which the experimental axon platform can satisfy
-    # before execution completes -- round 1's 113M ops/s was that artifact)
-    best = 0.0
-    for _rep in range(3):  # first rep absorbs residual warmup
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(out, k)
-        _ = np.asarray(out)
-        dt = time.perf_counter() - t0
-        best = max(best, batch * iters / dt)
-    return best
+    return _throughput(
+        jax.jit(lambda p, s: ec.scalar_mul(CURVE, p, s)), (P, k), batch, iters
+    )
 
 
-def bench_auctions(trend: bool = False):
-    """Auction wall-clocks at the BASELINE.md configs (VERDICT r2 item 3).
+def bench_auctions(scale: bool = True):
+    """Auction wall-clocks at the BASELINE.md configs + the north-star
+    scale (VERDICT r4 item 1).
 
     Reference numbers to beat (1 Xeon core, BASELINE.md): SEAL 20x32 =
     162 s, CCS22 64x32 = 12.0 s.  Each config runs once warm-up (pays any
     residual compile; shapes differ per n so each config compiles its own
-    programs) and once timed.
+    programs) and once timed.  `scale=False` drops the trend/north-star
+    configs (quick mode).
     """
     from privacy_auction_tpu.curves import SECP256K1 as CURVE
     from privacy_auction_tpu.protocols import ccs22, seal
 
     rng = np.random.default_rng(0)
     out = {}
-    seal_cfgs = [(4, 8), (20, 32)] + ([(128, 32)] if trend else [])
+    seal_cfgs = [(4, 8), (20, 32)]
+    if scale:
+        # throughput-vs-n trend + BASELINE.md north-star (1024 x 64)
+        seal_cfgs += [(128, 32), (512, 32), (1024, 32), (1024, 64)]
     for n, c in seal_cfgs:
         bids = [int(b) for b in rng.integers(0, 1 << c, n)]
         seal.run_auction(CURVE, jax.random.key(1), bids, c, verify=True)
@@ -102,7 +177,8 @@ def bench_auctions(trend: bool = False):
         res = seal.run_auction(CURVE, jax.random.key(2), bids, c, verify=True)
         out[f"seal_{n}x{c}_wall_s"] = time.perf_counter() - t0
         assert res.max_bid == max(bids) and res.verified
-    for n, c in ((8, 16), (64, 32)):
+    ccs_cfgs = [(8, 16), (64, 32)] + ([(1024, 64)] if scale else [])
+    for n, c in ccs_cfgs:
         bids = [int(b) for b in rng.integers(0, 1 << c, n)]
         ccs22.run_auction(CURVE, jax.random.key(3), bids, c)
         t0 = time.perf_counter()
@@ -125,15 +201,21 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--quick", action="store_true",
                     help="skip the auction wall-clock benches")
-    ap.add_argument("--trend", action="store_true",
-                    help="also run the large SEAL 128x32 throughput point")
+    ap.add_argument("--no-scale", action="store_true",
+                    help="skip the trend + north-star (1024x64) configs")
     args = ap.parse_args()
 
     validated = validate_kernels()  # raises (nonzero exit) on any mismatch
-    ops = bench_scalar_mul(args.batch, args.iters)
+    kern = bench_kernels(args.batch, args.iters)
+    ops = kern["scalar_mul"]
     extra = {}
+    for k, v in kern.items():
+        print(f"{k}: {v:.4g}", file=sys.stderr)
+        extra[k if k.endswith("frac") else f"{k}_ops_s"] = (
+            round(v, 4) if k.endswith("frac") else round(v, 1)
+        )
     if not args.quick:
-        for k, v in bench_auctions(trend=args.trend).items():
+        for k, v in bench_auctions(scale=not args.no_scale).items():
             print(f"{k}: {v:.3f}", file=sys.stderr)
             extra[k] = round(v, 3)
     print(json.dumps({

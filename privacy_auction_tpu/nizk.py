@@ -60,11 +60,34 @@ def _id_bytes(ids):
     )
 
 
-def fs_challenge(curve: Curve, points, ids):
+def _u32_bytes(v):
+    """Step index (...,) integer -> (..., 4) uint8 little-endian."""
+    v = jnp.asarray(v).astype(jnp.uint32)
+    shifts = np.arange(0, 32, 8, dtype=np.uint32)
+    return ((v[..., None] >> shifts) & jnp.uint32(0xFF)).astype(jnp.uint8)
+
+
+# Domain-separation tags: one per proof system, bound into every
+# transcript so a proof cannot be replayed as a different system's (the
+# reference binds only points + prover id, `SEAL/hash.cpp:26-51`; this is
+# the remaining transcript-hardening fix on top of the canonical id
+# serialization below).
+TAG_POKDLOG = b"PA/PoKDLog\x00"
+TAG_POWFCOM = b"PA/PoWFCom\x00"
+TAG_STAGE1 = b"PA/PoWFStage1\x00"
+TAG_STAGE2 = b"PA/PoWFStage2\x00"
+
+
+def fs_challenge(curve: Curve, points, ids, domain: bytes = b"", steps=None):
     """Fiat-Shamir challenge scalar from an ordered point list + prover id.
 
     points: sequence of (..., 3, L) projective points (broadcast-compatible
     batches); ids: (...,) integer array.  Returns (..., L) scalar mod n.
+
+    domain: static byte tag hashed first (proof-system separation);
+    steps: optional integer scalar/array bound as 4 LE bytes after the id
+    (auction-step separation -- a proof generated for step i cannot be
+    replayed at step j).
 
     The generator prefix byte-string is a host constant; all points are
     affinized in ONE batched inversion (stacked along a new axis) -- the
@@ -79,11 +102,20 @@ def fs_challenge(curve: Curve, points, ids):
     octets = ec.serialize_uncompressed(curve, stacked)  # (..., N, 65)
     batch = octets.shape[:-2]
     flat = octets.reshape(batch + (octets.shape[-2] * 65,))
-    gen_oct = jnp.broadcast_to(
-        jnp.asarray(_generator_octets(curve)), batch + (65,)
-    )
-    idb = jnp.broadcast_to(_id_bytes(jnp.asarray(ids)), batch + (8,))
-    msg = jnp.concatenate([gen_oct, flat, idb], axis=-1)
+    parts = []
+    if domain:
+        parts.append(jnp.broadcast_to(
+            jnp.asarray(np.frombuffer(domain, np.uint8)),
+            batch + (len(domain),),
+        ))
+    parts += [
+        jnp.broadcast_to(jnp.asarray(_generator_octets(curve)), batch + (65,)),
+        flat,
+        jnp.broadcast_to(_id_bytes(jnp.asarray(ids)), batch + (8,)),
+    ]
+    if steps is not None:
+        parts.append(jnp.broadcast_to(_u32_bytes(steps), batch + (4,)))
+    msg = jnp.concatenate(parts, axis=-1)
     return digest_to_scalar(curve.fn, sha256(msg))
 
 
@@ -162,7 +194,7 @@ class PoKDLog(NamedTuple):
     rho: jnp.ndarray  # (..., L) response v - ch*x
 
 
-def gen_pokdlog_from(curve: Curve, v, eps, X, x, ids) -> PoKDLog:
+def gen_pokdlog_from(curve: Curve, v, eps, X, x, ids, steps=None) -> PoKDLog:
     """Finish a Schnorr proof from a precomputed nonce commitment.
 
     v: nonce scalars (..., L); eps = g^v computed by the caller (so it can
@@ -170,12 +202,12 @@ def gen_pokdlog_from(curve: Curve, v, eps, X, x, ids) -> PoKDLog:
     instead of one per proof system).
     """
     fn = curve.fn
-    ch = fs_challenge(curve, [eps, X], ids)
+    ch = fs_challenge(curve, [eps, X], ids, TAG_POKDLOG, steps)
     rho = F.sub(fn, v, F.mul(fn, ch, x))
     return PoKDLog(eps=eps, rho=rho)
 
 
-def gen_pokdlog(curve: Curve, key, X, x, ids) -> PoKDLog:
+def gen_pokdlog(curve: Curve, key, X, x, ids, steps=None) -> PoKDLog:
     """Prove knowledge of x with X = g^x (`SEAL/bidder.cpp:90-107`).
 
     Batched over leading axes of x (..., L).
@@ -183,12 +215,12 @@ def gen_pokdlog(curve: Curve, key, X, x, ids) -> PoKDLog:
     fn = curve.fn
     v = F.random(fn, key, x.shape[:-1])
     eps = ec.mul_base(curve, v)
-    return gen_pokdlog_from(curve, v, eps, X, x, ids)
+    return gen_pokdlog_from(curve, v, eps, X, x, ids, steps)
 
 
-def ver_pokdlog(curve: Curve, proof: PoKDLog, X, ids):
+def ver_pokdlog(curve: Curve, proof: PoKDLog, X, ids, steps=None):
     """Check g^rho * X^ch == eps (`SEAL/bidder.cpp:119-136`). -> bool (...,)."""
-    ch = fs_challenge(curve, [proof.eps, X], ids)
+    ch = fs_challenge(curve, [proof.eps, X], ids, TAG_POKDLOG, steps)
     lhs = ec.base_mul_add(curve, proof.rho, X, ch)
     return ec.eq(curve, lhs, proof.eps)
 
@@ -225,7 +257,8 @@ def _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2):
     return gb, gd
 
 
-def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids) -> PoWFCom:
+def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids,
+                steps=None) -> PoWFCom:
     """Generate PoWFCom (`SEAL/bidder.cpp:149-226`), branchless over bit.
 
     The real branch (1 if bit==0 else 2) gets nonce scalars (r1, t=0); the
@@ -246,7 +279,9 @@ def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids) -> PoWFCom:
 
     gb, gd = _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2)
     e11, e21, e12, e22 = gb[0], gb[1], gd[0], gd[1]
-    ch = fs_challenge(curve, [e11, e12, e21, e22, phi, A, B], ids)
+    ch = fs_challenge(
+        curve, [e11, e12, e21, e22, phi, A, B], ids, TAG_POWFCOM, steps
+    )
 
     ch_real = F.sub(fn, ch, ch_sim)
     rho_real = F.sub(fn, r1, F.mul(fn, alpha, ch_real))
@@ -258,13 +293,13 @@ def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids) -> PoWFCom:
     )
 
 
-def ver_powfcom(curve: Curve, proof: PoWFCom, phi, A, B, ids):
+def ver_powfcom(curve: Curve, proof: PoWFCom, phi, A, B, ids, steps=None):
     """Verify the four equations (`SEAL/bidder.cpp:241-299`). -> bool (...,)."""
     fn = curve.fn
     ch = fs_challenge(
         curve,
         [proof.eps11, proof.eps12, proof.eps21, proof.eps22, phi, A, B],
-        ids,
+        ids, TAG_POWFCOM, steps,
     )
     ch1 = F.sub(fn, ch, proof.ch2)
     gb, gd = _powfcom_eqs(
@@ -276,7 +311,8 @@ def ver_powfcom(curve: Curve, proof: PoWFCom, phi, A, B, ids):
     )
 
 
-def ver_commit_phase(curve: Curve, pok_a, pok_b, powf, phi, A, B, ids):
+def ver_commit_phase(curve: Curve, pok_a, pok_b, powf, phi, A, B, ids,
+                     steps=None):
     """Fused commit-phase verifier: both PoKDLogs + the PoWFCom checked
     with ONE base-equation call, ONE dual call, and ONE batched equality
     (same checks as `SEAL/bidder.cpp:1178-1189`, graph-lean).
@@ -286,11 +322,14 @@ def ver_commit_phase(curve: Curve, pok_a, pok_b, powf, phi, A, B, ids):
     eps_ab = jnp.stack([pok_a.eps, pok_b.eps])
     x_ab = jnp.stack([A, B])
     ids2 = jnp.broadcast_to(ids, (2,) + ids.shape)
-    ch_ab = fs_challenge(curve, [eps_ab, x_ab], ids2)
+    steps2 = None if steps is None else jnp.broadcast_to(
+        jnp.asarray(steps), (2,) + jnp.asarray(steps).shape
+    )
+    ch_ab = fs_challenge(curve, [eps_ab, x_ab], ids2, TAG_POKDLOG, steps2)
     ch = fs_challenge(
         curve,
         [powf.eps11, powf.eps12, powf.eps21, powf.eps22, phi, A, B],
-        ids,
+        ids, TAG_POWFCOM, steps,
     )
     ch1 = F.sub(fn, ch, powf.ch2)
     phi_g = _g_minus(curve, phi)
@@ -357,7 +396,7 @@ def _stage1_eqs(curve, b, X, Y, R, c, A, B, s11, s12, t1, s21, s22, t2):
 
 
 def gen_powfstage1(
-    curve: Curve, key, X, Y, R, c, A, B, x, alpha, bit, ids
+    curve: Curve, key, X, Y, R, c, A, B, x, alpha, bit, ids, steps=None
 ):
     """Generate Stage1 (`SEAL/bidder.cpp:318-451`), branchless over bit.
 
@@ -398,7 +437,9 @@ def gen_powfstage1(
     gb = gb5[:4]
     # order: e11 e12 e13 e14 e21 e22 e23 e24
     eqs = (gb[0], gb[1], gd[0], gd[1], gb[2], gb[3], gd[2], gd[3])
-    ch = fs_challenge(curve, list(eqs) + [b, X, Y, R, c, A, B], ids)
+    ch = fs_challenge(
+        curve, list(eqs) + [b, X, Y, R, c, A, B], ids, TAG_STAGE1, steps
+    )
 
     ch_real = F.sub(fn, ch, ch_sim)
     rho_x = F.sub(fn, r11, F.mul(fn, x, ch_real))
@@ -414,12 +455,15 @@ def gen_powfstage1(
     return proof, b
 
 
-def ver_powfstage1(curve: Curve, proof: PoWFStage1, b, X, Y, R, c, A, B, ids):
+def ver_powfstage1(curve: Curve, proof: PoWFStage1, b, X, Y, R, c, A, B, ids,
+                   steps=None):
     """Verify the eight equations (`SEAL/bidder.cpp:470-571`)."""
     fn = curve.fn
     eps = [proof.eps11, proof.eps12, proof.eps13, proof.eps14,
            proof.eps21, proof.eps22, proof.eps23, proof.eps24]
-    ch = fs_challenge(curve, eps + [b, X, Y, R, c, A, B], ids)
+    ch = fs_challenge(
+        curve, eps + [b, X, Y, R, c, A, B], ids, TAG_STAGE1, steps
+    )
     ch1 = F.sub(fn, ch, proof.ch2)
     gb, gd = _stage1_eqs(
         curve, b, X, Y, R, c, A, B,
@@ -530,7 +574,7 @@ _STAGE2_FS_PTS = ("Xi", "Xj", "A", "Bi", "Bj", "B", "Ri", "Rj", "Ci", "Yi", "Yj"
 
 
 def gen_powfstage2(
-    curve: Curve, key, pts, xi, xj, alphai, bi, bj, ids
+    curve: Curve, key, pts, xi, xj, alphai, bi, bj, ids, steps=None
 ):
     """Generate Stage2 (`SEAL/bidder.cpp:598-890`), branchless over (bi, bj).
 
@@ -579,7 +623,8 @@ def gen_powfstage2(
     gd = _stage2_dual_eqs(curve, pts, scal)
     eqs = _stage2_unpack(gb, gd)
     ch = fs_challenge(
-        curve, list(eqs) + [pts[k] for k in _STAGE2_FS_PTS], ids
+        curve, list(eqs) + [pts[k] for k in _STAGE2_FS_PTS], ids,
+        TAG_STAGE2, steps,
     )
 
     # ch_real = ch - sum of the two simulated branch challenges
@@ -612,11 +657,13 @@ def gen_powfstage2(
     return proof, b
 
 
-def ver_powfstage2(curve: Curve, proof: PoWFStage2, pts, ids):
+def ver_powfstage2(curve: Curve, proof: PoWFStage2, pts, ids, steps=None):
     """Verify the sixteen equations (`SEAL/bidder.cpp:913-1101`)."""
     fn = curve.fn
     eps = list(proof[:16])
-    ch = fs_challenge(curve, eps + [pts[k] for k in _STAGE2_FS_PTS], ids)
+    ch = fs_challenge(
+        curve, eps + [pts[k] for k in _STAGE2_FS_PTS], ids, TAG_STAGE2, steps
+    )
     ch1 = F.sub(fn, F.sub(fn, ch, proof.ch2), proof.ch3)
     scal = {
         "s11": proof.rho11, "s12": proof.rho12, "s13": proof.rho13,

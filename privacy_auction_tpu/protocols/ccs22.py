@@ -295,43 +295,99 @@ def _auction_step(curve: Curve, pp: PubParams, k1, k2, X_step, x_step,
     return announced, update_race(in_race, d, announced), d
 
 
+def _fused_auction(curve: Curve, key, pp: PubParams, bid_scalars, bits,
+                   eval_id: int):
+    """The whole CCS22 auction as ONE XLA program: setup + a `lax.scan`
+    of the per-step pipeline over all c steps (`CCS22/main.cpp:72-130`
+    with the per-step host dispatches fused away).
+
+    The announced bit drives only the race bookkeeping, which is carried
+    on device; the host reads the full (c,) announced-bit vector once at
+    the end.  Returns announced bits (c,) bool.
+    """
+    n, c = bits.shape
+    keys = jax.random.split(key, 2 * c + 2)
+    beta = F.random(curve.fn, keys[0], (n, c))
+    _pub, sec = setup(curve, keys[1], pp, bid_scalars, c, eval_id, beta)
+
+    sm = lambda a: jnp.moveaxis(a, 1, 0)  # (n, c, ...) -> step-major
+    xs = (
+        keys[2:].reshape(c, 2),
+        sm(_pub.X), sm(sec.x), sm(sec.r), sm(sec.s), sm(sec.t), sm(beta),
+        bits.T,
+    )
+
+    def body(in_race, x):
+        sk, X_s, x_s, r_s, s_s, t_s, beta_s, bits_s = x
+        announced, new_race, _d = _auction_step(
+            curve, pp, sk[0], sk[1], X_s, x_s, r_s, s_s, t_s, beta_s,
+            bits_s, in_race, eval_id,
+        )
+        return new_race, announced
+
+    _, announced = jax.lax.scan(body, jnp.ones((n,), jnp.uint32), xs)
+    return announced
+
+
 @functools.lru_cache(maxsize=None)
-def _jit_step(curve: Curve, eval_id: int):
-    return jax.jit(functools.partial(_auction_step, curve, eval_id=eval_id))
+def _jit_fused(curve: Curve, eval_id: int):
+    return jax.jit(functools.partial(_fused_auction, curve, eval_id=eval_id))
 
 
 def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
                 trackers=None, times=None, mesh=None) -> AuctionResult:
-    """Full CCS22 auction (`CCS22/main.cpp:16-199`): host loop over steps.
+    """Full CCS22 auction (`CCS22/main.cpp:16-199`).
 
     bids: list of n ints; the evaluator (lane eval_id) is also a bidder.
+
+    Default path: setup and ALL c steps run as one fused XLA program
+    (`lax.scan`), dispatched once and synced once -- the announced bit is
+    public and only drives on-device race bookkeeping, so there is no
+    reason to pull it to the host between steps.
 
     times: optional `utils.trackers.TimeTracker`.  When given, each step
     runs the same production phase functions dispatched separately so
     device time can be attributed per role (bidder: setup / BESEncode /
     OTSend; evaluator: OTReceive1 / OTReceive2 -- the reference's
-    category split, `CCS22/main.cpp:140-167`).  The default path fuses
-    the whole step into one jit call.
+    category split, `CCS22/main.cpp:140-167`).
 
     mesh: optional `jax.sharding.Mesh` with a "bidders" axis: every
     party-axis array (step keys, OT lanes, betas) is sharded over it; XLA
     inserts ICI collectives for the AV-net scan, the OT-recovery sum and
-    the evaluator-lane gathers.  Requires n % mesh size == 0.
+    the evaluator-lane gathers.  When n is not a multiple of the mesh
+    size the party axis is padded with zero-bid dummy lanes.
     """
     from .seal import bids_to_bits
     from ..utils.trackers import CATEGORY_BIDDER, CATEGORY_EVALUATOR
 
+    if mesh is not None:
+        from ..parallel import mesh as M
+
+        n_pad = M.pad_bidders(len(bids), mesh.devices.size)
+        if n_pad != len(bids):
+            bids = list(bids) + [0] * (n_pad - len(bids))
     n = len(bids)
     bits = jnp.asarray(bids_to_bits(bids, c))
     bid_scalars = jnp.asarray(F.ints_to_limbs([b % curve.host.n for b in bids]))
     if mesh is not None:
-        from ..parallel import mesh as M
-
-        if n % mesh.devices.size:
-            raise ValueError(
-                f"n={n} parties not divisible by mesh size {mesh.devices.size}"
-            )
         bits, bid_scalars = M.shard_bidders(mesh, (bits, bid_scalars))
+
+    if times is None:
+        # fused on-device path: one dispatch, one sync for the whole run
+        pp = pp_or_make(curve)
+        if mesh is not None:
+            key = M.replicate(mesh, key)
+        announced_all = _jit_fused(curve, eval_id)(key, pp, bid_scalars, bits)
+        announced_np = np.asarray(announced_all)
+        max_bid = 0
+        deciding = np.zeros(c, np.uint8)
+        for step in range(c):
+            bit = bool(announced_np[step])
+            deciding[step] = bit
+            max_bid = (max_bid << 1) | int(bit)
+            if trackers is not None:
+                trackers.account_step(n)
+        return AuctionResult(max_bid=max_bid, deciding_bits=deciding)
 
     def _timed(category, fn, *a, **kw):
         if times is None:
@@ -360,29 +416,20 @@ def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
 
     max_bid = 0
     deciding = np.zeros(c, np.uint8)
-    step_fn = _jit_step(curve, eval_id)
 
     for step in range(c):
-        if times is None:
-            announced, in_race, _d = step_fn(
-                pp, keys[2 * step + 2], keys[2 * step + 3],
-                _pub.X[:, step], sec.x[:, step], sec.r[:, step],
-                sec.s[:, step], sec.t[:, step], beta[:, step],
-                bits[:, step], in_race,
-            )
-        else:
-            # role-metered path: same phase functions, separate dispatches
-            d = bits[:, step] & in_race
-            B = _timed(CATEGORY_BIDDER, _jit_bes, curve,
-                       _pub.X[:, step], sec.x[:, step], sec.r[:, step], d)
-            r1 = _timed(CATEGORY_EVALUATOR, _jit_otr1, curve,
-                        keys[2 * step + 2], pp, beta[:, step], d[eval_id])
-            ots = _timed(CATEGORY_BIDDER, _jit_ots, curve,
-                         keys[2 * step + 3], pp, r1, B,
-                         sec.s[:, step], sec.t[:, step])
-            announced = _timed(CATEGORY_EVALUATOR, _jit_otr2, curve,
-                               ots, beta[:, step], B, d, eval_id)
-            in_race = update_race(in_race, d, announced)
+        # role-metered path: same phase functions, separate dispatches
+        d = bits[:, step] & in_race
+        B = _timed(CATEGORY_BIDDER, _jit_bes, curve,
+                   _pub.X[:, step], sec.x[:, step], sec.r[:, step], d)
+        r1 = _timed(CATEGORY_EVALUATOR, _jit_otr1, curve,
+                    keys[2 * step + 2], pp, beta[:, step], d[eval_id])
+        ots = _timed(CATEGORY_BIDDER, _jit_ots, curve,
+                     keys[2 * step + 3], pp, r1, B,
+                     sec.s[:, step], sec.t[:, step])
+        announced = _timed(CATEGORY_EVALUATOR, _jit_otr2, curve,
+                           ots, beta[:, step], B, d, eval_id)
+        in_race = update_race(in_race, d, announced)
         bit = bool(np.asarray(announced))
         deciding[step] = bit
         max_bid = (max_bid << 1) | int(bit)

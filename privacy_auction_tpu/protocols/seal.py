@@ -29,11 +29,13 @@ Key algorithmic upgrades over the reference:
     trackers, not by redundant compute.
 
 The c auction steps stay sequential (junction-state dependency,
-`SEAL/bidder.cpp:1301,1400`); stage selection (Stage1 vs Stage2) is a
-host-level dispatch on the public junction flag, so each step jits with
-static shapes and no dead branch.  `full_step` additionally provides a
-single jittable step (both stages computed, branchlessly selected) for
-whole-auction `lax.scan` pipelines and multi-chip dry-runs.
+`SEAL/bidder.cpp:1301,1400`), but the WHOLE auction lives on device:
+`full_step` is one jittable step (stage selection is a `lax.cond` on the
+public junction flag -- only the live stage executes, per-bidder batch
+stays branchless) and `run_auction` drives a `lax.scan` of it over all c
+steps in a single XLA program, syncing to host once per auction.  The
+per-step host-dispatch path survives only for the role-metered timing and
+fault-injection (`tamper`) modes, which need per-phase boundaries.
 """
 
 from __future__ import annotations
@@ -145,7 +147,8 @@ def commit(curve: Curve, key, bid_bits, ids):
     """Commit phase for all bidders/bits (`SEAL/bidder.cpp:1109-1162`).
 
     bid_bits: (n, c) uint32 in {0,1}, MSB first; ids: (n,) uint32.
-    Returns (CommitmentPub, CommitmentSec).
+    Returns (CommitmentPub, CommitmentSec).  The bit index is bound into
+    every Fiat-Shamir transcript (domain separation).
     """
     fn = curve.fn
     n, c = bid_bits.shape
@@ -164,14 +167,18 @@ def commit(curve: Curve, key, bid_bits, ids):
     phi, A, B = pts[0], pts[1], pts[2]
 
     ids_nc = jnp.broadcast_to(ids[:, None], (n, c))
+    steps_nc = jnp.broadcast_to(jnp.arange(c, dtype=jnp.uint32), (n, c))
     pok = nizk.gen_pokdlog_from(
         curve, v, pts[3:5],
         jnp.stack([A, B]), jnp.stack([alpha, beta]),
         jnp.broadcast_to(ids_nc, (2, n, c)),
+        jnp.broadcast_to(steps_nc, (2, n, c)),
     )
     pok_a = jax.tree.map(lambda t: t[0], pok)
     pok_b = jax.tree.map(lambda t: t[1], pok)
-    powf = nizk.gen_powfcom(curve, k_wf, phi, A, B, alpha, bid_bits, ids_nc)
+    powf = nizk.gen_powfcom(
+        curve, k_wf, phi, A, B, alpha, bid_bits, ids_nc, steps_nc
+    )
     return (
         CommitmentPub(phi=phi, A=A, B=B, pok_a=pok_a, pok_b=pok_b, powf=powf),
         CommitmentSec(alpha=alpha, beta=beta),
@@ -185,8 +192,10 @@ def verify_commit(curve: Curve, pub: CommitmentPub, ids):
     """
     n, c = pub.phi.shape[:2]
     ids_nc = jnp.broadcast_to(ids[:, None], (n, c))
+    steps_nc = jnp.broadcast_to(jnp.arange(c, dtype=jnp.uint32), (n, c))
     return nizk.ver_commit_phase(
-        curve, pub.pok_a, pub.pok_b, pub.powf, pub.phi, pub.A, pub.B, ids_nc
+        curve, pub.pok_a, pub.pok_b, pub.powf, pub.phi, pub.A, pub.B, ids_nc,
+        steps_nc,
     )
 
 
@@ -194,8 +203,12 @@ def verify_commit(curve: Curve, pub: CommitmentPub, ids):
 # round 1
 # --------------------------------------------------------------------------
 
-def round_one(curve: Curve, key, n: int, ids):
-    """Per-step key generation for all bidders (`SEAL/bidder.cpp:1203-1236`)."""
+def round_one(curve: Curve, key, n: int, ids, step=0):
+    """Per-step key generation for all bidders (`SEAL/bidder.cpp:1203-1236`).
+
+    The step index is bound into both PoKDLog transcripts so round-1 keys
+    cannot be replayed across steps.
+    """
     fn = curve.fn
     k_xr, k_v = jax.random.split(key)
     xr = F.random(fn, k_xr, (2, n))
@@ -206,7 +219,8 @@ def round_one(curve: Curve, key, n: int, ids):
     pts, eps = pts4[:2], pts4[2:]
     X, R = pts[0], pts[1]
     pok = nizk.gen_pokdlog_from(
-        curve, v, eps, pts, xr, jnp.broadcast_to(ids, (2, n))
+        curve, v, eps, pts, xr, jnp.broadcast_to(ids, (2, n)),
+        jnp.broadcast_to(jnp.asarray(step, jnp.uint32), (2, n)),
     )
     pok_x = jax.tree.map(lambda t: t[0], pok)
     pok_r = jax.tree.map(lambda t: t[1], pok)
@@ -216,7 +230,7 @@ def round_one(curve: Curve, key, n: int, ids):
     )
 
 
-def verify_round_one(curve: Curve, pub: RoundOnePub, ids):
+def verify_round_one(curve: Curve, pub: RoundOnePub, ids, step=0):
     """(`SEAL/bidder.cpp:1245-1262`) -> (n,) bool."""
     n = pub.X.shape[0]
     ok = nizk.ver_pokdlog(
@@ -224,6 +238,7 @@ def verify_round_one(curve: Curve, pub: RoundOnePub, ids):
         jax.tree.map(lambda a, b: jnp.stack([a, b]), pub.pok_x, pub.pok_r),
         jnp.stack([pub.X, pub.R]),
         jnp.broadcast_to(ids, (2, n)),
+        jnp.broadcast_to(jnp.asarray(step, jnp.uint32), (2, n)),
     )
     return ok[0] & ok[1]
 
@@ -248,7 +263,7 @@ def round_two_stage1(curve: Curve, key, sec, pub, Y, commit_pub, commit_sec,
     B = commit_pub.B[:, step]
     proof, b = nizk.gen_powfstage1(
         curve, key, pub.X, Y, pub.R, phi, A, B,
-        sec.x, commit_sec.alpha[:, step], d, ids,
+        sec.x, commit_sec.alpha[:, step], d, ids, step,
     )
     info = StepInfo(X=pub.X, R=pub.R, Y=Y, b=b, x=sec.x, d=d)
     return RoundTwoPub(b=b, proof1=proof, proof2=None), info
@@ -269,7 +284,7 @@ def round_two_stage2(curve: Curve, key, sec, pub, Y, commit_pub, commit_sec,
     )
     proof, b = nizk.gen_powfstage2(
         curve, key, pts, sec.x, prev.x, commit_sec.alpha[:, step],
-        d, prev.d, ids,
+        d, prev.d, ids, step,
     )
     info = StepInfo(X=pub.X, R=pub.R, Y=Y, b=b, x=sec.x, d=d)
     return RoundTwoPub(b=b, proof1=None, proof2=proof), info
@@ -281,7 +296,7 @@ def verify_round_two_stage1(curve: Curve, pub2: RoundTwoPub, pub1: RoundOnePub,
     return nizk.ver_powfstage1(
         curve, pub2.proof1, pub2.b, pub1.X, Y, pub1.R,
         commit_pub.phi[:, step], commit_pub.A[:, step],
-        commit_pub.B[:, step], ids,
+        commit_pub.B[:, step], ids, step,
     )
 
 
@@ -295,7 +310,7 @@ def verify_round_two_stage2(curve: Curve, pub2: RoundTwoPub, pub1: RoundOnePub,
         Ci=commit_pub.phi[:, step],
         A=commit_pub.A[:, step], B=commit_pub.B[:, step],
     )
-    return nizk.ver_powfstage2(curve, pub2.proof2, pts, ids)
+    return nizk.ver_powfstage2(curve, pub2.proof2, pts, ids, step)
 
 
 # --------------------------------------------------------------------------
@@ -322,22 +337,55 @@ class AuctionResult(NamedTuple):
     deciding_bits: np.ndarray  # (c,) uint8
 
 
+# Maximum supported bid bit-length.  The reference asserts c <= C_MAX = 32
+# (`/root/reference/SEAL/bidder.cpp:25`, `SEAL/params.h:7`); the TPU build
+# raises the cap to 64 (bids are staged through uint64 on the host) and
+# errors instead of asserting.
+C_MAX = 64
+
+
 def bids_to_bits(bids, c: int) -> np.ndarray:
     """Host: integer bids (n,) -> (n, c) bit matrix, MSB first
-    (`SEAL/bidder.cpp:27-34`)."""
-    bids = np.asarray(bids, dtype=np.uint64)
+    (`SEAL/bidder.cpp:27-34`).
+
+    Validates the reference's C_MAX contract (`SEAL/bidder.cpp:25`) and
+    that every bid fits in c bits (the reference silently truncates).
+    """
+    if not 1 <= c <= C_MAX:
+        raise ValueError(
+            f"bid bit-length c={c} out of range [1, {C_MAX}] "
+            "(reference C_MAX contract, SEAL/params.h)"
+        )
+    blist = [int(b) for b in bids]
+    bad = [b for b in blist if b < 0 or b >= (1 << c)]
+    if bad:
+        raise ValueError(
+            f"bids {bad[:4]}{'...' if len(bad) > 4 else ''} do not fit in "
+            f"c={c} bits"
+        )
+    arr = np.asarray(blist, dtype=np.uint64)
     shifts = np.arange(c - 1, -1, -1, dtype=np.uint64)
-    return ((bids[:, None] >> shifts) & 1).astype(np.uint32)
+    return ((arr[:, None] >> shifts) & 1).astype(np.uint32)
 
 
 def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
                 trackers=None, tamper=None, times=None,
                 mesh=None) -> AuctionResult:
-    """Full SEAL auction for integer bids (host loop over the c steps).
+    """Full SEAL auction for integer bids.
 
     Mirrors `/root/reference/SEAL/main.cpp:46-165`: commit -> verify ->
     c x (round1 -> verify -> round2 -> verify -> round3).  `verify=False`
     mirrors ENABLE_VERIFICATION off (`SEAL/params.h:13`).
+
+    Default (honest) path: the ENTIRE auction -- commit, all c steps, all
+    NIZK verifications, the veto sums and junction bookkeeping -- is one
+    XLA program (`lax.scan` of `full_step`), dispatched once and synced
+    once; a failed verification surfaces as verified=False/max_bid=-1
+    after the run (the reference aborts mid-protocol, `SEAL/main.cpp:56`;
+    same outcome, no host round-trips).  The per-step host loop below
+    runs only when `times` (per-role device timing needs phase
+    boundaries) or `tamper` (the board hook needs message access) is
+    given.
 
     tamper: optional fault-injection hook `tamper(phase, step, pub) -> pub`
     with phase in {"commit", "round1", "round2"} (step is None for commit).
@@ -360,24 +408,51 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
     sharded over it; XLA propagates the sharding through every phase and
     inserts ICI collectives only where the protocol genuinely
     communicates (the AV-net prefix scan and the round-3 veto sum).
-    Requires n to be a multiple of the mesh size.  Results are
-    bit-identical to the unsharded run (the reduction trees are fixed by
-    the program, not the partitioning).
+    When n is not a multiple of the mesh size the bidder axis is padded
+    with zero-bid dummy lanes (honest parties bidding 0 -- they cannot
+    change the maximum).  Results are bit-identical to the unsharded run
+    (the reduction trees are fixed by the program, not the partitioning).
     """
     from ..utils.trackers import CATEGORY_BIDDER, CATEGORY_VERIFIER
 
-    n = len(bids)
-    bits = jnp.asarray(bids_to_bits(bids, c))
-    ids = jnp.arange(n, dtype=jnp.uint32)
-    keys = jax.random.split(key, 2 * c + 1)
     if mesh is not None:
         from ..parallel import mesh as M
 
         n_dev = mesh.devices.size
-        if n % n_dev:
-            raise ValueError(
-                f"n={n} bidders not divisible by mesh size {n_dev}"
+        n_pad = M.pad_bidders(len(bids), n_dev)
+        if n_pad != len(bids):
+            bids = list(bids) + [0] * (n_pad - len(bids))
+    n = len(bids)
+    bits = jnp.asarray(bids_to_bits(bids, c))
+    ids = jnp.arange(n, dtype=jnp.uint32)
+
+    if times is None and tamper is None:
+        # fused on-device path: one dispatch, one sync for the whole run
+        if mesh is not None:
+            bits, ids = M.shard_bidders(mesh, (bits, ids))
+            key = M.replicate(mesh, key)
+        deciding_dev, all_ok = _jit_auction_scan(curve, key, bits, ids, verify)
+        deciding = np.asarray(deciding_dev).astype(np.uint8)
+        if trackers is not None:
+            trackers.account_commit(n, c)
+            stage2 = False
+            for s in range(c):
+                trackers.account_step(n, stage2=stage2)
+                stage2 = stage2 or bool(deciding[s])
+        if verify and not bool(np.asarray(all_ok)):
+            return AuctionResult(
+                max_bid=-1, verified=False,
+                deciding_bits=np.zeros(c, np.uint8),
             )
+        max_bid = 0
+        for s in range(c):
+            max_bid = (max_bid << 1) | int(deciding[s])
+        return AuctionResult(
+            max_bid=max_bid, verified=True, deciding_bits=deciding
+        )
+
+    keys = jax.random.split(key, 2 * c + 1)
+    if mesh is not None:
         bits, ids = M.shard_bidders(mesh, (bits, ids))
         keys = M.replicate(mesh, keys)
 
@@ -422,11 +497,13 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
 
     for step in range(c):
         pub1, sec1 = _timed(
-            CATEGORY_BIDDER, _jit_round_one, curve, keys[2 * step + 1], n, ids
+            CATEGORY_BIDDER, _jit_round_one, curve, keys[2 * step + 1], n,
+            ids, step,
         )
         board_pub1 = _board("round1", step, pub1)
         if verify and not bool(np.asarray(_timed(
-            CATEGORY_VERIFIER, _jit_verify_round_one, curve, board_pub1, ids
+            CATEGORY_VERIFIER, _jit_verify_round_one, curve, board_pub1, ids,
+            step,
         )).all()):
             return failed
         d = bits[:, step] & in_race
@@ -472,6 +549,102 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
             prev = info
 
     return AuctionResult(max_bid=max_bid, verified=True, deciding_bits=deciding)
+
+
+# --------------------------------------------------------------------------
+# fused whole-auction pipeline
+# --------------------------------------------------------------------------
+
+def full_step(curve: Curve, key, step, bits_step, in_race, junction, prev,
+              commit_pub: CommitmentPub, commit_sec: CommitmentSec, ids,
+              verify: bool = True):
+    """One complete auction step as a single jittable computation:
+    round 1 (+ verify) -> AV-net keys -> round 2 Stage1 | Stage2
+    (+ verify) -> round 3 veto sum -> junction/race bookkeeping
+    (`SEAL/main.cpp:65-120` for one step).
+
+    Stage selection is a `lax.cond` on `junction` -- a PUBLIC scalar (all
+    parties know whether a deciding step has happened), so branching on
+    it leaks nothing, and only the live stage's EC work executes.  The
+    per-bidder bit-dependent behavior inside each stage stays branchless
+    (see nizk OR-proofs).
+
+    Returns (new_race, new_junction, new_prev, deciding, ok) with
+    deciding = this step's max-bid bit and ok = all NIZK checks passed
+    (constant True when verify=False, mirroring ENABLE_VERIFICATION off).
+    """
+    n = bits_step.shape[0]
+    k1, k2 = jax.random.split(key)
+    pub1, sec1 = round_one(curve, k1, n, ids, step)
+    ok1 = (verify_round_one(curve, pub1, ids, step).all()
+           if verify else jnp.asarray(True))
+    d = bits_step & in_race
+    Y = avnet_keys(curve, pub1.X)
+
+    def _stage1(_):
+        pub2, _info = round_two_stage1(
+            curve, k2, sec1, pub1, Y, commit_pub, commit_sec,
+            bits_step, d, ids, step,
+        )
+        ok = (verify_round_two_stage1(
+            curve, pub2, pub1, Y, commit_pub, ids, step,
+        ).all() if verify else jnp.asarray(True))
+        return pub2.b, ok
+
+    def _stage2(_):
+        pub2, _info = round_two_stage2(
+            curve, k2, sec1, pub1, Y, commit_pub, commit_sec, d, prev,
+            ids, step,
+        )
+        ok = (verify_round_two_stage2(
+            curve, pub2, pub1, Y, commit_pub, prev, ids, step,
+        ).all() if verify else jnp.asarray(True))
+        return pub2.b, ok
+
+    b, ok2 = jax.lax.cond(junction, _stage2, _stage1, None)
+    deciding = round_three(curve, b)
+    info = StepInfo(X=pub1.X, R=pub1.R, Y=Y, b=b, x=sec1.x, d=d)
+    new_prev = jax.tree.map(
+        lambda new, old: jnp.where(deciding, new, old), info, prev
+    )
+    new_race = jnp.where(deciding, in_race & d, in_race)
+    return new_race, junction | deciding, new_prev, deciding, ok1 & ok2
+
+
+def _auction_scan(curve: Curve, key, bits, ids, verify: bool):
+    """The whole auction as ONE XLA program: commit (+ verify) then a
+    `lax.scan` of `full_step` over the c steps (`SEAL/main.cpp:46-120`
+    with the per-step host dispatches fused away).
+
+    Returns (deciding_bits (c,) bool, all_ok () bool).
+    """
+    n, c = bits.shape
+    kc, ks = jax.random.split(key)
+    commit_pub, commit_sec = commit(curve, kc, bits, ids)
+    ok_c = (verify_commit(curve, commit_pub, ids).all()
+            if verify else jnp.asarray(True))
+    step_keys = jax.random.split(ks, c)
+
+    def body(carry, xs):
+        in_race, junction, prev = carry
+        k, step, bits_step = xs
+        new_race, new_junction, new_prev, deciding, ok = full_step(
+            curve, k, step, bits_step, in_race, junction, prev,
+            commit_pub, commit_sec, ids, verify,
+        )
+        return (new_race, new_junction, new_prev), (deciding, ok)
+
+    init = (
+        jnp.ones((n,), jnp.uint32),
+        jnp.asarray(False),
+        _dummy_step_info(n),
+    )
+    xs = (step_keys, jnp.arange(c, dtype=jnp.uint32), bits.T)
+    _, (deciding, oks) = jax.lax.scan(body, init, xs)
+    return deciding, ok_c & oks.all()
+
+
+_jit_auction_scan = jax.jit(_auction_scan, static_argnums=(0, 4))
 
 
 # --------------------------------------------------------------------------

@@ -17,16 +17,18 @@ FULL = os.environ.get("PA_TPU_SWEEP") == "1"
 
 def sweep_params():
     if not FULL:
-        # seeded small default sweep: 3 unique pairs, n <= 5, c <= 4
-        # (always on; kept small because the 256-bit EC kernels execute
-        # slowly on the CPU CI host -- PA_TPU_SWEEP=1 is the full sweep)
+        # seeded small default sweep: 5 random pairs with n <= 5, c <= 4
+        # plus one deeper fixed (8, 8) case (junction-free and long-chain
+        # Stage2 coverage).  Kept bounded because the 256-bit EC kernels
+        # compile and execute slowly on the CPU CI host -- PA_TPU_SWEEP=1
+        # is the full reference-parity sweep (tools/run_sweep.py on TPU).
         rng = random.Random(0x5EA1)
         pairs = []
-        while len(pairs) < 3:
+        while len(pairs) < 5:
             p = (rng.randint(1, 5), rng.randint(1, 4))
             if p not in pairs:
                 pairs.append(p)
-        return pairs
+        return pairs + [(8, 8)]
     path = pathlib.Path(__file__).resolve().parent.parent / "params.txt"
     if path.exists():
         return [tuple(map(int, line.split()))

@@ -85,16 +85,16 @@ def test_ccs22_auction_sharded_matches_unsharded():
     np.testing.assert_array_equal(got.deciding_bits, want.deciding_bits)
 
 
-def test_seal_mesh_indivisible_raises():
+def test_seal_mesh_indivisible_pads():
+    """n not divisible by the mesh size: the driver pads the bidder axis
+    with zero-bid dummy lanes (honest, cannot change the max)."""
     from privacy_auction_tpu.protocols import seal
 
     mesh = M.make_mesh()
-    try:
-        seal.run_auction(CURVE, jax.random.key(0), [1, 2, 3], 2, mesh=mesh)
-    except ValueError as e:
-        assert "divisible" in str(e)
-    else:
-        raise AssertionError("expected ValueError for n % mesh size != 0")
+    res = seal.run_auction(
+        CURVE, jax.random.key(0), [1, 2, 3], 2, verify=True, mesh=mesh
+    )
+    assert res.verified and res.max_bid == 3
 
 
 def test_distributed_helpers_single_process():
