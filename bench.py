@@ -79,20 +79,27 @@ def validate_kernels() -> bool:
     return True
 
 
-def _throughput(fn, args, batch, iters, reps=3):
-    """Best-of-reps steady-state ops/s for a jitted fn over `batch` lanes.
+def _sync(out):
+    """Hard sync via a TINY host transfer (axon: block_until_ready can
+    return before execution completes -- round 1's 113M ops/s was that
+    artifact; and transferring the full result would meter the tunnel's
+    host-transfer bandwidth, not the kernel -- round 4's field-mul
+    'roofline' was that artifact).  Fetching one element forces the whole
+    buffer (and everything queued before it) to be computed."""
+    leaf = jax.tree.leaves(out)[0]
+    _ = np.asarray(leaf[(0,) * leaf.ndim])
 
-    Hard sync via host transfer (axon: block_until_ready can return before
-    execution completes -- round 1's 113M ops/s was that artifact).
-    """
+
+def _throughput(fn, args, batch, iters, reps=3):
+    """Best-of-reps steady-state ops/s for a jitted fn over `batch` lanes."""
     out = fn(*args)
-    _ = np.asarray(jax.tree.leaves(out)[0])
+    _sync(out)
     best = 0.0
     for _rep in range(reps):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(*args)
-        _ = np.asarray(jax.tree.leaves(out)[0])
+        _sync(out)
         dt = time.perf_counter() - t0
         best = max(best, batch * iters / dt)
     return best
@@ -172,19 +179,26 @@ def bench_auctions(scale: bool = True):
         seal_cfgs += [(128, 32), (512, 32), (1024, 32), (1024, 64)]
     for n, c in seal_cfgs:
         bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+        print(f"seal {n}x{c}: warm-up...", file=sys.stderr, flush=True)
         seal.run_auction(CURVE, jax.random.key(1), bids, c, verify=True)
         t0 = time.perf_counter()
         res = seal.run_auction(CURVE, jax.random.key(2), bids, c, verify=True)
         out[f"seal_{n}x{c}_wall_s"] = time.perf_counter() - t0
-        assert res.max_bid == max(bids) and res.verified
+        assert res.max_bid == max(bids) and res.verified, (
+            f"seal {n}x{c}: got {res.max_bid} verified={res.verified}, "
+            f"want {max(bids)}"
+        )
     ccs_cfgs = [(8, 16), (64, 32)] + ([(1024, 64)] if scale else [])
     for n, c in ccs_cfgs:
         bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+        print(f"ccs22 {n}x{c}: warm-up...", file=sys.stderr, flush=True)
         ccs22.run_auction(CURVE, jax.random.key(3), bids, c)
         t0 = time.perf_counter()
         res = ccs22.run_auction(CURVE, jax.random.key(4), bids, c)
         out[f"ccs22_{n}x{c}_wall_s"] = time.perf_counter() - t0
-        assert res.max_bid == max(bids)
+        assert res.max_bid == max(bids), (
+            f"ccs22 {n}x{c}: got {res.max_bid}, want {max(bids)}"
+        )
     out["seal_20x32_vs_baseline"] = BASELINE_SEAL_20x32_S / out["seal_20x32_wall_s"]
     out["ccs22_64x32_vs_baseline"] = (
         BASELINE_CCS22_64x32_S / out["ccs22_64x32_wall_s"]

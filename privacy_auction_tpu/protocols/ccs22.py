@@ -295,25 +295,23 @@ def _auction_step(curve: Curve, pp: PubParams, k1, k2, X_step, x_step,
     return announced, update_race(in_race, d, announced), d
 
 
-def _fused_auction(curve: Curve, key, pp: PubParams, bid_scalars, bits,
-                   eval_id: int):
-    """The whole CCS22 auction as ONE XLA program: setup + a `lax.scan`
-    of the per-step pipeline over all c steps (`CCS22/main.cpp:72-130`
-    with the per-step host dispatches fused away).
+def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
+               beta, bits, eval_id: int):
+    """All c CCS22 steps as ONE XLA program: a `lax.scan` of the per-step
+    pipeline (`CCS22/main.cpp:87-130` with the per-step host dispatches
+    fused away).  Setup is dispatched separately by run_auction (the
+    experimental axon TPU backend has miscompiled combined
+    setup-plus-scan-scale programs -- see seal._step_scan).
 
     The announced bit drives only the race bookkeeping, which is carried
     on device; the host reads the full (c,) announced-bit vector once at
     the end.  Returns announced bits (c,) bool.
     """
-    n, c = bits.shape
-    keys = jax.random.split(key, 2 * c + 2)
-    beta = F.random(curve.fn, keys[0], (n, c))
-    _pub, sec = setup(curve, keys[1], pp, bid_scalars, c, eval_id, beta)
-
     sm = lambda a: jnp.moveaxis(a, 1, 0)  # (n, c, ...) -> step-major
+    n, c = bits.shape
     xs = (
-        keys[2:].reshape(c, 2),
-        sm(_pub.X), sm(sec.x), sm(sec.r), sm(sec.s), sm(sec.t), sm(beta),
+        step_keys.reshape(c, 2),
+        sm(X), sm(sec.x), sm(sec.r), sm(sec.s), sm(sec.t), sm(beta),
         bits.T,
     )
 
@@ -331,7 +329,17 @@ def _fused_auction(curve: Curve, key, pp: PubParams, bid_scalars, bits,
 
 @functools.lru_cache(maxsize=None)
 def _jit_fused(curve: Curve, eval_id: int):
-    return jax.jit(functools.partial(_fused_auction, curve, eval_id=eval_id))
+    return jax.jit(functools.partial(_step_scan, curve, eval_id=eval_id))
+
+
+def _run_fused(curve: Curve, key, pp: PubParams, bid_scalars, bits,
+               eval_id: int):
+    """Fused driver body: setup dispatch + the step-scan dispatch."""
+    n, c = bits.shape
+    keys = jax.random.split(key, 2 * c + 2)
+    beta = F.random(curve.fn, keys[0], (n, c))
+    _pub, sec = _jit_setup(curve, keys[1], pp, bid_scalars, c, eval_id, beta)
+    return _jit_fused(curve, eval_id)(keys[2:], pp, _pub.X, sec, beta, bits)
 
 
 def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
@@ -373,11 +381,11 @@ def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
         bits, bid_scalars = M.shard_bidders(mesh, (bits, bid_scalars))
 
     if times is None:
-        # fused on-device path: one dispatch, one sync for the whole run
+        # fused on-device path: setup + one step-scan dispatch, one sync
         pp = pp_or_make(curve)
         if mesh is not None:
             key = M.replicate(mesh, key)
-        announced_all = _jit_fused(curve, eval_id)(key, pp, bid_scalars, bits)
+        announced_all = _run_fused(curve, key, pp, bid_scalars, bits, eval_id)
         announced_np = np.asarray(announced_all)
         max_bid = 0
         deciding = np.zeros(c, np.uint8)

@@ -33,8 +33,9 @@ The c auction steps stay sequential (junction-state dependency,
 `full_step` is one jittable step (stage selection is a `lax.cond` on the
 public junction flag -- only the live stage executes, per-bidder batch
 stays branchless) and `run_auction` drives a `lax.scan` of it over all c
-steps in a single XLA program, syncing to host once per auction.  The
-per-step host-dispatch path survives only for the role-metered timing and
+steps in a single XLA program (plus two dispatches for the commit phase,
+see `_step_scan`), syncing to host once per auction.  The per-step
+host-dispatch path survives only for the role-metered timing and
 fault-injection (`tamper`) modes, which need per-phase boundaries.
 """
 
@@ -377,15 +378,15 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
     c x (round1 -> verify -> round2 -> verify -> round3).  `verify=False`
     mirrors ENABLE_VERIFICATION off (`SEAL/params.h:13`).
 
-    Default (honest) path: the ENTIRE auction -- commit, all c steps, all
-    NIZK verifications, the veto sums and junction bookkeeping -- is one
-    XLA program (`lax.scan` of `full_step`), dispatched once and synced
-    once; a failed verification surfaces as verified=False/max_bid=-1
-    after the run (the reference aborts mid-protocol, `SEAL/main.cpp:56`;
-    same outcome, no host round-trips).  The per-step host loop below
-    runs only when `times` (per-role device timing needs phase
-    boundaries) or `tamper` (the board hook needs message access) is
-    given.
+    Default (honest) path: three dispatches for the whole auction --
+    commit, commit verification, and ONE `lax.scan` of `full_step`
+    covering all c steps (round 1/2/3 + NIZK verification + junction
+    bookkeeping) -- synced once at the end; a failed verification
+    surfaces as verified=False/max_bid=-1 after the run (the reference
+    aborts mid-protocol, `SEAL/main.cpp:56`; same outcome, no per-step
+    host round-trips).  The per-step host loop below runs only when
+    `times` (per-role device timing needs phase boundaries) or `tamper`
+    (the board hook needs message access) is given.
 
     tamper: optional fault-injection hook `tamper(phase, step, pub) -> pub`
     with phase in {"commit", "round1", "round2"} (step is None for commit).
@@ -427,11 +428,19 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
     ids = jnp.arange(n, dtype=jnp.uint32)
 
     if times is None and tamper is None:
-        # fused on-device path: one dispatch, one sync for the whole run
+        # fused on-device path: three dispatches (commit, commit-verify,
+        # step scan), one sync for the whole run
         if mesh is not None:
             bits, ids = M.shard_bidders(mesh, (bits, ids))
             key = M.replicate(mesh, key)
-        deciding_dev, all_ok = _jit_auction_scan(curve, key, bits, ids, verify)
+        kc, ks = jax.random.split(key)
+        commit_pub, commit_sec = _jit_commit(curve, kc, bits, ids)
+        ok_c = (_jit_verify_commit(curve, commit_pub, ids)
+                if verify else jnp.asarray(True))
+        deciding_dev, oks = _jit_step_scan(
+            curve, ks, bits, ids, commit_pub, commit_sec, verify
+        )
+        all_ok = bool(np.asarray(ok_c).all()) and bool(np.asarray(oks).all())
         deciding = np.asarray(deciding_dev).astype(np.uint8)
         if trackers is not None:
             trackers.account_commit(n, c)
@@ -439,7 +448,7 @@ def run_auction(curve: Curve, key, bids, c: int, verify: bool = True,
             for s in range(c):
                 trackers.account_step(n, stage2=stage2)
                 stage2 = stage2 or bool(deciding[s])
-        if verify and not bool(np.asarray(all_ok)):
+        if verify and not all_ok:
             return AuctionResult(
                 max_bid=-1, verified=False,
                 deciding_bits=np.zeros(c, np.uint8),
@@ -611,18 +620,21 @@ def full_step(curve: Curve, key, step, bits_step, in_race, junction, prev,
     return new_race, junction | deciding, new_prev, deciding, ok1 & ok2
 
 
-def _auction_scan(curve: Curve, key, bits, ids, verify: bool):
-    """The whole auction as ONE XLA program: commit (+ verify) then a
-    `lax.scan` of `full_step` over the c steps (`SEAL/main.cpp:46-120`
-    with the per-step host dispatches fused away).
+def _step_scan(curve: Curve, ks, bits, ids, commit_pub, commit_sec,
+               verify: bool):
+    """All c auction steps as ONE XLA program: a `lax.scan` of `full_step`
+    (`SEAL/main.cpp:65-120` with the per-step host dispatches fused away).
 
-    Returns (deciding_bits (c,) bool, all_ok () bool).
+    The commit phase is deliberately dispatched separately (run_auction):
+    compiling commit generation + verification into the same program as
+    the scan miscompiles on the experimental axon TPU backend (observed:
+    every equality check in the combined program evaluates false at c=8
+    while the identical split programs -- and the combined program on
+    XLA:CPU -- are correct).  Three dispatches per auction is still O(1).
+
+    Returns (deciding_bits (c,) bool, oks (c,) bool).
     """
     n, c = bits.shape
-    kc, ks = jax.random.split(key)
-    commit_pub, commit_sec = commit(curve, kc, bits, ids)
-    ok_c = (verify_commit(curve, commit_pub, ids).all()
-            if verify else jnp.asarray(True))
     step_keys = jax.random.split(ks, c)
 
     def body(carry, xs):
@@ -641,10 +653,10 @@ def _auction_scan(curve: Curve, key, bits, ids, verify: bool):
     )
     xs = (step_keys, jnp.arange(c, dtype=jnp.uint32), bits.T)
     _, (deciding, oks) = jax.lax.scan(body, init, xs)
-    return deciding, ok_c & oks.all()
+    return deciding, oks
 
 
-_jit_auction_scan = jax.jit(_auction_scan, static_argnums=(0, 4))
+_jit_step_scan = jax.jit(_step_scan, static_argnums=(0, 6))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,76 @@
+"""Multi-process VERIFIED SEAL auction through the native socket hub.
+
+VERDICT r4 item 5: a real auction -- batched kernels, NIZK generation and
+verification ON -- crossing the C++ BoardServer as real serialized
+messages, with the hub's byte meters checked against the analytic
+communication model (utils/trackers.py).
+"""
+
+import numpy as np
+import pytest
+
+from privacy_auction_tpu.runtime import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native runtime not built"
+)
+
+N, C = 3, 2
+SEED = 11
+
+
+def test_hub_verified_auction_agrees_and_meters():
+    import jax
+
+    from privacy_auction_tpu.curves import SECP256K1 as CURVE
+    from privacy_auction_tpu.protocols import seal
+    from privacy_auction_tpu.runtime.party import run_hub_auction
+    from privacy_auction_tpu.utils import trackers as T
+
+    rng = np.random.default_rng(SEED)
+    bids = [int(b) for b in rng.integers(0, 1 << C, N)]
+
+    results, meters = run_hub_auction(N, C, bids, seed=SEED)
+
+    # every party process verified every proof and agreed on the max bid
+    want = max(bids)
+    assert results == [(want, True)] * N
+
+    # the in-process production driver agrees (deciding bits are the binary
+    # expansion of the max bid in both drivers)
+    res = seal.run_auction(CURVE, jax.random.key(SEED), bids, C, verify=True)
+    assert res.verified and res.max_bid == want
+
+    # ---- meters vs the analytic model -----------------------------------
+    # expected wire sizes (65 B/point, 32 B/scalar): commit = 9 pts + 5 sc
+    # per bit; round1 = 4 + 2; round2 = 9 + 5 (Stage1) / 17 + 10 (Stage2)
+    deciding = [(want >> (C - 1 - s)) & 1 for s in range(C)]
+    stage2 = False
+    per_party = C * T.SEAL_COMMIT_PER_BIT
+    for s in range(C):
+        per_party += T.SEAL_ROUND1
+        per_party += T.SEAL_ROUND2_S2 if stage2 else T.SEAL_ROUND2_S1
+        stage2 = stage2 or bool(deciding[s])
+    assert meters["bidder"] == N * per_party
+    # each of the N parties downloads all N messages per phase = the
+    # reference's n^2 verifier fan-out
+    assert meters["verifier"] == N * N * per_party
+
+    # analytic model comparison: the model additionally counts the
+    # reference's round-2/3 X / b projection re-downloads
+    # (2 * n^2 * POINT_BYTES per step, `SEAL/bulletinBoard.cpp:135-161`)
+    # which the wire messages already carry.
+    data = T.DataTracker()
+    model = T.SealCommTracker(data)
+    model.account_commit(N, C)
+    stage2 = False
+    for s in range(C):
+        model.account_step(N, stage2=stage2)
+        stage2 = stage2 or bool(deciding[s])
+    model_total = (data.get_total_data_mb()) * 1e6
+    projection = 2 * C * N * N * T.POINT_BYTES
+    real_protocol_bytes = meters["bidder"] + meters["verifier"]
+    assert real_protocol_bytes == pytest.approx(model_total - projection)
+    # result postings are the only other traffic
+    assert meters["result"] == N * 9
+    assert meters["total"] == real_protocol_bytes + meters["result"]
