@@ -65,6 +65,20 @@ FIELDMULS_PER = {
     "base_mul_add": 3050.0,
 }
 
+# Roofline ceiling: one 256-bit modular mul in 16x16-bit limbs costs
+# ~256 lane-multiplies + ~700 adds/shifts/selects (carry scans, fast
+# fold) ~= 1000 VPU integer lane-ops when fully fused in registers.  A
+# v5e chip's VPU sustains very roughly 0.9e12 int32 lane-ops/s (8 cores
+# x 4 VPUs x 8x128 lanes x ~940 MHz is the upper bound; int multiplies
+# are not single-cycle on every lane, so this is an ESTIMATE -- the
+# fraction is a sanity gauge, not a precision claim).  The standalone
+# field_mul microbench deliberately stays in the JSON too: it is
+# HBM-bound (192 B moved per ~1000 lane-ops) and shows the fused-ladder
+# rate exceeding it ~15x, i.e. the ladders really do keep limbs in
+# registers instead of round-tripping HBM.
+VPU_INT_OPS_PER_S = 0.9e12
+VPU_OPS_PER_FIELDMUL = 1000.0
+
 
 def validate_kernels() -> bool:
     """Differentially validate every Pallas kernel on this platform before
@@ -138,8 +152,8 @@ def bench_kernels(batch: int, iters: int = 8) -> dict:
     out["field_mul"] = _throughput(
         jax.jit(lambda x, y: F.mul(CURVE.fp, x, y)), (a, b), fbatch, 4)
     for name, budget in FIELDMULS_PER.items():
-        ceiling = out["field_mul"] / budget
-        out[f"{name}_roofline_frac"] = out[name] / ceiling if ceiling else 0.0
+        ceiling = VPU_INT_OPS_PER_S / (budget * VPU_OPS_PER_FIELDMUL)
+        out[f"{name}_roofline_frac"] = out[name] / ceiling
     return out
 
 

@@ -71,6 +71,7 @@ def test_hub_verified_auction_agrees_and_meters():
     projection = 2 * C * N * N * T.POINT_BYTES
     real_protocol_bytes = meters["bidder"] + meters["verifier"]
     assert real_protocol_bytes == pytest.approx(model_total - projection)
-    # result postings are the only other traffic
-    assert meters["result"] == N * 9
+    # result traffic: each party posts 9 bytes; the hub driver downloads
+    # each of the N results once (fetches meter like posts)
+    assert meters["result"] == 2 * N * 9
     assert meters["total"] == real_protocol_bytes + meters["result"]
