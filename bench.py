@@ -191,25 +191,52 @@ def bench_auctions(scale: bool = True):
     if scale:
         # throughput-vs-n trend + BASELINE.md north-star (1024 x 64)
         seal_cfgs += [(128, 32), (512, 32), (1024, 32), (1024, 64)]
+    def rand_bids(n, c):
+        # c can be 64: draw as uint64 (2**64 overflows numpy's int64 path)
+        return [int(b)
+                for b in rng.integers(0, 1 << c, n, dtype=np.uint64,
+                                      endpoint=False)]
+
+    def run_retry(fn, what, tries=3):
+        # the axon platform compiles through a local HTTP tunnel that
+        # occasionally drops mid-response; the compile cache makes a
+        # retry cheap (only the failed program recompiles)
+        import jax as _jax
+
+        for attempt in range(tries):
+            try:
+                return fn()
+            except _jax.errors.JaxRuntimeError as e:
+                if attempt == tries - 1:
+                    raise
+                print(f"{what}: transient backend error, retrying "
+                      f"({e})", file=sys.stderr, flush=True)
+
     for n, c in seal_cfgs:
-        bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+        bids = rand_bids(n, c)
         print(f"seal {n}x{c}: warm-up...", file=sys.stderr, flush=True)
-        seal.run_auction(CURVE, jax.random.key(1), bids, c, verify=True)
+        run_retry(lambda: seal.run_auction(
+            CURVE, jax.random.key(1), bids, c, verify=True), f"seal {n}x{c}")
         t0 = time.perf_counter()
         res = seal.run_auction(CURVE, jax.random.key(2), bids, c, verify=True)
         out[f"seal_{n}x{c}_wall_s"] = time.perf_counter() - t0
+        print(f"seal {n}x{c}: {out[f'seal_{n}x{c}_wall_s']:.3f} s",
+              file=sys.stderr, flush=True)
         assert res.max_bid == max(bids) and res.verified, (
             f"seal {n}x{c}: got {res.max_bid} verified={res.verified}, "
             f"want {max(bids)}"
         )
     ccs_cfgs = [(8, 16), (64, 32)] + ([(1024, 64)] if scale else [])
     for n, c in ccs_cfgs:
-        bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+        bids = rand_bids(n, c)
         print(f"ccs22 {n}x{c}: warm-up...", file=sys.stderr, flush=True)
-        ccs22.run_auction(CURVE, jax.random.key(3), bids, c)
+        run_retry(lambda: ccs22.run_auction(
+            CURVE, jax.random.key(3), bids, c), f"ccs22 {n}x{c}")
         t0 = time.perf_counter()
         res = ccs22.run_auction(CURVE, jax.random.key(4), bids, c)
         out[f"ccs22_{n}x{c}_wall_s"] = time.perf_counter() - t0
+        print(f"ccs22 {n}x{c}: {out[f'ccs22_{n}x{c}_wall_s']:.3f} s",
+              file=sys.stderr, flush=True)
         assert res.max_bid == max(bids), (
             f"ccs22 {n}x{c}: got {res.max_bid}, want {max(bids)}"
         )

@@ -36,7 +36,8 @@ def _maybe_profile(profile_dir):
 
 
 def run_seal(n: int, c: int, seed: int, verify: bool,
-             warmup: bool = True, profile_dir: str | None = None) -> int:
+             warmup: bool = True, profile_dir: str | None = None,
+             fast: bool = False) -> int:
     import jax
 
     from .curves import SECP256K1 as CURVE
@@ -47,7 +48,7 @@ def run_seal(n: int, c: int, seed: int, verify: bool,
     bids = [int(b) for b in rng.integers(0, 1 << c, n)]
     data = T.DataTracker()
     comm = T.SealCommTracker(data)
-    times = T.TimeTracker()
+    times = None if fast else T.TimeTracker()
 
     if warmup:
         # Untimed warm-up pays JIT trace+compile so the reported per-role
@@ -57,7 +58,8 @@ def run_seal(n: int, c: int, seed: int, verify: bool,
         # dispatch differs from the fused path, so it compiles its own
         # programs).
         seal.run_auction(CURVE, jax.random.key(seed + 1), bids, c,
-                         verify=verify, times=T.TimeTracker())
+                         verify=verify,
+                         times=None if fast else T.TimeTracker())
     t0 = time.perf_counter()
     with _maybe_profile(profile_dir):
         res = seal.run_auction(
@@ -73,12 +75,15 @@ def run_seal(n: int, c: int, seed: int, verify: bool,
     # reference verifier's workload (the n-fold re-verification is
     # redundant compute with identical results), so it is NOT divided.
     log.message(f"[SEAL] #bidders: n = {n}, bit length of bids: c = {c}")
-    log.message(f"[SEAL] Time (one bidder): "
-                f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / n:.6f}"
-                " s.")
-    log.message(f"[SEAL] Time (one verifier): "
-                f"{times.get_category_time_seconds(T.CATEGORY_VERIFIER):.6f}"
-                " s.")
+    if times is not None:
+        log.message(
+            f"[SEAL] Time (one bidder): "
+            f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / n:.6f}"
+            " s.")
+        log.message(
+            f"[SEAL] Time (one verifier): "
+            f"{times.get_category_time_seconds(T.CATEGORY_VERIFIER):.6f}"
+            " s.")
     log.message(f"[SEAL] Data (one bidder): "
                 f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / n:.6f} MB")
     log.message(f"[SEAL] Data (one verifier): "
@@ -97,7 +102,7 @@ def run_seal(n: int, c: int, seed: int, verify: bool,
 
 
 def run_ccs22(n: int, c: int, seed: int, warmup: bool = True,
-              profile_dir: str | None = None) -> int:
+              profile_dir: str | None = None, fast: bool = False) -> int:
     import jax
 
     from .curves import SECP256K1 as CURVE
@@ -110,13 +115,13 @@ def run_ccs22(n: int, c: int, seed: int, warmup: bool = True,
     data = T.DataTracker()
     comm = T.Ccs22CommTracker(data)
     comm.account_setup(n, c)
-    times = T.TimeTracker()
+    times = None if fast else T.TimeTracker()
 
     if warmup:
         # Untimed warm-up: exclude JIT compile from the per-role report
         # (see run_seal; scratch tracker = same role-metered code path).
         ccs22.run_auction(CURVE, jax.random.key(seed + 1), bids, c, eval_id,
-                          times=T.TimeTracker())
+                          times=None if fast else T.TimeTracker())
     t0 = time.perf_counter()
     with _maybe_profile(profile_dir):
         res = ccs22.run_auction(
@@ -130,13 +135,14 @@ def run_ccs22(n: int, c: int, seed: int, warmup: bool = True,
     # (CRS download) split per party.
     shared_mb = data.get_category_data_mb(T.CATEGORY_BIDDER_AND_EVALUATOR)
     log.message(f"[CCS22] #bidders: n = {n}, bit length of bids: c = {c}")
-    log.message(
-        f"[CCS22] Time (one bidder): "
-        f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / max(n - 1, 1):.6f}"
-        " s.")
-    log.message(
-        f"[CCS22] Time (one evaluator): "
-        f"{times.get_category_time_seconds(T.CATEGORY_EVALUATOR):.6f} s.")
+    if times is not None:
+        log.message(
+            f"[CCS22] Time (one bidder): "
+            f"{times.get_category_time_seconds(T.CATEGORY_BIDDER) / max(n - 1, 1):.6f}"
+            " s.")
+        log.message(
+            f"[CCS22] Time (one evaluator): "
+            f"{times.get_category_time_seconds(T.CATEGORY_EVALUATOR):.6f} s.")
     log.message(
         f"[CCS22] Data (one bidder): "
         f"{data.get_category_data_mb(T.CATEGORY_BIDDER) / max(n - 1, 1) + shared_mb / n:.6f}"
@@ -169,6 +175,9 @@ def main(argv=None) -> int:
         p.add_argument("--profile", metavar="DIR", default=None,
                        help="write a jax.profiler trace of the metered "
                             "run to DIR (view with TensorBoard/xprof)")
+        p.add_argument("--fast", action="store_true",
+                       help="use the fused whole-auction driver (O(1) "
+                            "dispatches; no per-role time report)")
         if name == "seal":
             p.add_argument("--no-verify", action="store_true",
                            help="disable NIZK verification "
@@ -177,9 +186,10 @@ def main(argv=None) -> int:
     seed = args.seed if args.seed is not None else int(time.time()) & 0xFFFF
     if args.protocol == "seal":
         return run_seal(args.n, args.c, seed, not args.no_verify,
-                        warmup=not args.cold, profile_dir=args.profile)
+                        warmup=not args.cold, profile_dir=args.profile,
+                        fast=args.fast)
     return run_ccs22(args.n, args.c, seed, warmup=not args.cold,
-                     profile_dir=args.profile)
+                     profile_dir=args.profile, fast=args.fast)
 
 
 if __name__ == "__main__":

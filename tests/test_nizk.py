@@ -57,6 +57,20 @@ def test_fs_challenge_matches_host(rng):
     assert F.limbs_to_int(np.asarray(got)[0]) == want
 
 
+def test_fs_step_binding(rng):
+    """Domain separation: a proof bound to step 0 must not verify at
+    step 1 (replay across auction steps)."""
+    key = jax.random.key(5)
+    x, _ = _rand_scalars(rng, (2,))
+    X = EC.mul_base(CURVE, x)
+    ids = jnp.arange(2, dtype=jnp.uint32)
+    proof = nizk.gen_pokdlog(CURVE, key, X, x, ids, steps=0)
+    ok = nizk.ver_pokdlog(CURVE, proof, X, ids, steps=0)
+    bad = nizk.ver_pokdlog(CURVE, proof, X, ids, steps=1)
+    assert bool(np.asarray(ok).all())
+    assert not bool(np.asarray(bad).any())
+
+
 def test_pokdlog_roundtrip(rng):
     key = jax.random.key(42)
     x, _ = _rand_scalars(rng, (4,))

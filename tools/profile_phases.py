@@ -69,7 +69,7 @@ def main():
     from privacy_auction_tpu.protocols import seal
 
     rng = np.random.default_rng(1)
-    bids = [int(b) for b in rng.integers(0, 1 << c, n)]
+    bids = [int(b) for b in rng.integers(0, 1 << c, n, dtype=np.uint64)]
     bits = jnp.asarray(seal.bids_to_bits(bids, c))
     ids = jnp.arange(n, dtype=jnp.uint32)
     keys = jax.random.split(jax.random.key(0), 4)
