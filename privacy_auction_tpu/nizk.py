@@ -16,9 +16,10 @@ TPU-first redesign: every equation in every system has the single shape
 
 so generation and verification are *the same* batched computation (compute
 equations from scalars), differing only in where the scalars come from.
-All equations of a proof batch (bidders x bits x equations) are evaluated
-in a few large `ec.base_mul_add` / `ec.dual_mul` calls, and OR-proof branch
-selection is branchless scalar selects *before* the EC work -- the real and
+ALL equations of a proof system (bidders x bits x equations, fixed-base
+and dual-base alike) ride ONE batched `ec.dual_mul` pass per phase
+(`_eval_eqs`), and OR-proof branch selection is branchless scalar selects
+*before* the EC work -- the real and
 simulated branches cost the same, so the encoded bit never leaks through
 timing or control flow (the reference branches on the bit in plain C++).
 
@@ -146,37 +147,45 @@ def _sel(cond, a, b):
 # equation evaluation: the shared core of gen and verify
 # --------------------------------------------------------------------------
 
-def _eval_base_eqs(curve: Curve, bases, s_list, t_list):
-    """Evaluate equations  g^s_k * bases_k^t_k  for k equations at once.
+def _eval_eqs(curve: Curve, eqs):
+    """Evaluate k equations  base1^s * base2^t  in ONE batched dual-mult
+    pass.  eqs: list of (base1, s, base2, t); base1=None means the group
+    generator g.
 
-    bases/s/t: lists of (..., 3, L) / (..., L); stacked along a new leading
-    axis so the whole group rides one doubling chain batch.
-    Returns the stacked (k, ..., 3, L) result.
+    Merging the fixed-base (g^s X^t) and dual-base (P^s Q^t) equation
+    groups of a proof system into a single ladder halves the number of
+    serial kernel passes per proof phase -- the dominant latency term for
+    small-n auction steps, where a ladder pass costs ~constant wall time
+    regardless of lane count.  Returns the stacked (k, ..., 3, L) result.
     """
-    B = jnp.stack(bases)
-    S = jnp.stack(s_list)
-    T = jnp.stack(t_list)
-    return ec.base_mul_add(curve, S, B, T)
+    batch = jnp.broadcast_shapes(
+        *[e[2].shape[:-2] for e in eqs],
+        *[e[1].shape[:-1] for e in eqs],
+    )
+    g = None
+    P1, S, P2, T = [], [], [], []
+    for b1, s, b2, t in eqs:
+        if b1 is None:
+            if g is None:
+                g = ec.from_affine(
+                    F.const(int(curve.host.gx), batch),
+                    F.const(int(curve.host.gy), batch),
+                )
+            b1 = g
+        P1.append(jnp.broadcast_to(b1, batch + (3, F.LIMBS)))
+        S.append(jnp.broadcast_to(s, batch + (F.LIMBS,)))
+        P2.append(jnp.broadcast_to(b2, batch + (3, F.LIMBS)))
+        T.append(jnp.broadcast_to(t, batch + (F.LIMBS,)))
+    return ec.dual_mul(
+        curve, jnp.stack(P1), jnp.stack(S), jnp.stack(P2), jnp.stack(T)
+    )
 
 
-def _eval_dual_eqs(curve: Curve, bases1, s_list, bases2, t_list):
-    """Evaluate equations  bases1_k^s_k * bases2_k^t_k  batched (stacked)."""
-    P = jnp.stack(bases1)
-    S = jnp.stack(s_list)
-    Q = jnp.stack(bases2)
-    T = jnp.stack(t_list)
-    return ec.dual_mul(curve, P, S, Q, T)
-
-
-def _eq_all(curve: Curve, got_base, got_dual, eps_base, eps_dual):
-    """Compare all equations against published eps in ONE batched ec.eq.
-
-    got_*: stacked (k, ..., 3, L); eps_*: lists of (..., 3, L).
-    Returns (...,) bool (AND over every equation).
-    """
-    got = jnp.concatenate([got_base, got_dual], axis=0)
-    want = jnp.stack(eps_base + eps_dual)
-    return ec.eq(curve, got, want).all(axis=0)
+def _eq_all(curve: Curve, got, eps):
+    """Compare all k computed equations against the published eps in ONE
+    batched ec.eq: got (k, ..., 3, L), eps list of (..., 3, L).
+    Returns (...,) bool (AND over every equation)."""
+    return ec.eq(curve, got, jnp.stack(eps)).all(axis=0)
 
 
 def _zero(like):
@@ -242,19 +251,21 @@ class PoWFCom(NamedTuple):
 
 
 def _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2):
-    """The four PoWFCom equations from branch scalars.
+    """The four PoWFCom equations from branch scalars, ONE ladder pass:
 
     eps11 = g^s1 A^t1 ; eps12 = B^s1 phi^t1
     eps21 = g^s2 A^t2 ; eps22 = B^s2 (phi/g)^t2
     (verifier's checks 1-4, `SEAL/bidder.cpp:255-296`).
 
-    Returns (base_eqs (2, ...), dual_eqs (2, ...)) stacked:
-    base_eqs = [e11, e21], dual_eqs = [e12, e22].
+    Returns stacked (4, ...): [e11, e12, e21, e22].
     """
     phi_g = _g_minus(curve, phi)
-    gb = _eval_base_eqs(curve, [A, A], [s1, s2], [t1, t2])
-    gd = _eval_dual_eqs(curve, [B, B], [s1, s2], [phi, phi_g], [t1, t2])
-    return gb, gd
+    return _eval_eqs(curve, [
+        (None, s1, A, t1),
+        (B, s1, phi, t1),
+        (None, s2, A, t2),
+        (B, s2, phi_g, t2),
+    ])
 
 
 def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids,
@@ -277,8 +288,8 @@ def gen_powfcom(curve: Curve, key, phi, A, B, alpha, bit, ids,
     s2 = _sel(bit0, rho_sim, r1)
     t2 = _sel(bit0, ch_sim, zero)
 
-    gb, gd = _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2)
-    e11, e21, e12, e22 = gb[0], gb[1], gd[0], gd[1]
+    e = _powfcom_eqs(curve, phi, A, B, s1, t1, s2, t2)
+    e11, e12, e21, e22 = e[0], e[1], e[2], e[3]
     ch = fs_challenge(
         curve, [e11, e12, e21, e22, phi, A, B], ids, TAG_POWFCOM, steps
     )
@@ -302,12 +313,12 @@ def ver_powfcom(curve: Curve, proof: PoWFCom, phi, A, B, ids, steps=None):
         ids, TAG_POWFCOM, steps,
     )
     ch1 = F.sub(fn, ch, proof.ch2)
-    gb, gd = _powfcom_eqs(
+    got = _powfcom_eqs(
         curve, phi, A, B, proof.rho1, ch1, proof.rho2, proof.ch2
     )
     return _eq_all(
-        curve, gb, gd,
-        [proof.eps11, proof.eps21], [proof.eps12, proof.eps22],
+        curve, got,
+        [proof.eps11, proof.eps12, proof.eps21, proof.eps22],
     )
 
 
@@ -333,19 +344,18 @@ def ver_commit_phase(curve: Curve, pok_a, pok_b, powf, phi, A, B, ids,
     )
     ch1 = F.sub(fn, ch, powf.ch2)
     phi_g = _g_minus(curve, phi)
-    gb = _eval_base_eqs(
-        curve,
-        [A, B, A, A],
-        [pok_a.rho, pok_b.rho, powf.rho1, powf.rho2],
-        [ch_ab[0], ch_ab[1], ch1, powf.ch2],
-    )
-    gd = _eval_dual_eqs(
-        curve, [B, B], [powf.rho1, powf.rho2], [phi, phi_g], [ch1, powf.ch2]
-    )
+    got = _eval_eqs(curve, [
+        (None, pok_a.rho, A, ch_ab[0]),
+        (None, pok_b.rho, B, ch_ab[1]),
+        (None, powf.rho1, A, ch1),
+        (B, powf.rho1, phi, ch1),
+        (None, powf.rho2, A, powf.ch2),
+        (B, powf.rho2, phi_g, powf.ch2),
+    ])
     return _eq_all(
-        curve, gb, gd,
-        [pok_a.eps, pok_b.eps, powf.eps11, powf.eps21],
-        [powf.eps12, powf.eps22],
+        curve, got,
+        [pok_a.eps, pok_b.eps, powf.eps11, powf.eps12, powf.eps21,
+         powf.eps22],
     )
 
 
@@ -372,37 +382,39 @@ class PoWFStage1(NamedTuple):
 
 
 def _stage1_eqs(curve, b, X, Y, R, c, A, B, s11, s12, t1, s21, s22, t2):
-    """The eight Stage1 equations (verifier's checks 1-8,
-    `SEAL/bidder.cpp:487-568`):
+    """The eight Stage1 equations in ONE ladder pass (verifier's checks
+    1-8, `SEAL/bidder.cpp:487-568`):
 
     eps11 = g^s11 X^t1   eps12 = g^s12 A^t1
     eps13 = Y^s11 b^t1   eps14 = B^s12 c^t1
     eps21 = g^s21 X^t2   eps22 = g^s22 A^t2
     eps23 = R^s21 b^t2   eps24 = B^s22 (c/g)^t2
 
-    Returns (base_eqs (4, ...) = [e11,e12,e21,e22],
-             dual_eqs (4, ...) = [e13,e14,e23,e24]) stacked.
+    Returns stacked (8, ...) in order e11 e12 e13 e14 e21 e22 e23 e24.
     """
     c_g = _g_minus(curve, c)
-    gb = _eval_base_eqs(
-        curve, [X, A, X, A], [s11, s12, s21, s22], [t1, t1, t2, t2]
-    )
-    gd = _eval_dual_eqs(
-        curve,
-        [Y, B, R, B], [s11, s12, s21, s22],
-        [b, c, b, c_g], [t1, t1, t2, t2],
-    )
-    return gb, gd
+    return _eval_eqs(curve, [
+        (None, s11, X, t1),
+        (None, s12, A, t1),
+        (Y, s11, b, t1),
+        (B, s12, c, t1),
+        (None, s21, X, t2),
+        (None, s22, A, t2),
+        (R, s21, b, t2),
+        (B, s22, c_g, t2),
+    ])
 
 
 def gen_powfstage1(
-    curve: Curve, key, X, Y, R, c, A, B, x, alpha, bit, ids, steps=None
+    curve: Curve, key, X, Y, R, c, A, B, x, alpha, bit, ids, steps=None,
+    b=None,
 ):
     """Generate Stage1 (`SEAL/bidder.cpp:318-451`), branchless over bit.
 
-    Computes the round-2 ciphertext b = Y^x (bit 0) | R^x (bit 1) itself,
-    as an extra lane of the batched base-equation call (the reference
-    computes it separately at `SEAL/bidder.cpp:1301-1309`).
+    b: the round-2 ciphertext Y^x (bit 0) | R^x (bit 1).  When None it is
+    computed here first (the reference computes it separately,
+    `SEAL/bidder.cpp:1301-1309`); the fused scan driver passes the
+    precomputed value so the whole proof is ONE ladder pass.
     Returns (proof, b).
     """
     fn = curve.fn
@@ -419,24 +431,14 @@ def gen_powfstage1(
     s22 = _sel(bit0, rho_s2, r12)
     t2 = _sel(bit0, ch_sim, zero)
 
-    # ciphertext lane: b = sel^x (g^0 * sel^x)
-    sel_base = ec.select(bit0, Y, R)
-    gb5 = _eval_base_eqs(
-        curve,
-        [X, A, X, A, sel_base],
-        [s11, s12, s21, s22, _zero(x)],
-        [t1, t1, t2, t2, x],
+    if b is None:
+        sel_base = ec.select(bit0, Y, R)
+        b = ec.scalar_mul(curve, sel_base, x)
+    eqs8 = _stage1_eqs(
+        curve, b, X, Y, R, c, A, B, s11, s12, t1, s21, s22, t2
     )
-    b = gb5[4]
-    c_g = _g_minus(curve, c)
-    gd = _eval_dual_eqs(
-        curve,
-        [Y, B, R, B], [s11, s12, s21, s22],
-        [b, c, b, c_g], [t1, t1, t2, t2],
-    )
-    gb = gb5[:4]
     # order: e11 e12 e13 e14 e21 e22 e23 e24
-    eqs = (gb[0], gb[1], gd[0], gd[1], gb[2], gb[3], gd[2], gd[3])
+    eqs = tuple(eqs8[i] for i in range(8))
     ch = fs_challenge(
         curve, list(eqs) + [b, X, Y, R, c, A, B], ids, TAG_STAGE1, steps
     )
@@ -465,14 +467,14 @@ def ver_powfstage1(curve: Curve, proof: PoWFStage1, b, X, Y, R, c, A, B, ids,
         curve, eps + [b, X, Y, R, c, A, B], ids, TAG_STAGE1, steps
     )
     ch1 = F.sub(fn, ch, proof.ch2)
-    gb, gd = _stage1_eqs(
+    got = _stage1_eqs(
         curve, b, X, Y, R, c, A, B,
         proof.rho11, proof.rho12, ch1, proof.rho21, proof.rho22, proof.ch2,
     )
     return _eq_all(
-        curve, gb, gd,
-        [proof.eps11, proof.eps12, proof.eps21, proof.eps22],
-        [proof.eps13, proof.eps14, proof.eps23, proof.eps24],
+        curve, got,
+        [proof.eps11, proof.eps12, proof.eps13, proof.eps14,
+         proof.eps21, proof.eps22, proof.eps23, proof.eps24],
     )
 
 
@@ -515,66 +517,50 @@ class PoWFStage2(NamedTuple):
 
 
 def _stage2_eqs(curve, pts, scal):
-    """The sixteen Stage2 equations (verifier's checks 1-16,
-    `SEAL/bidder.cpp:937-1098`).  pts: dict of public points; scal: dict
-    with per-branch scalars s{m}{l} and challenges t{m}.
+    """The sixteen Stage2 equations in ONE ladder pass (verifier's checks
+    1-16, `SEAL/bidder.cpp:937-1098`).  pts: dict of public points
+    (including the ciphertext 'Bi'); scal: dict with per-branch scalars
+    s{m}{l} and challenges t{m}.
 
     Branch m equations (l = slot):
       e{m}1 = g^s{m}1 Xi^t{m}   e{m}2 = g^s{m}2 Xj^t{m}   e{m}3 = g^s{m}3 A^t{m}
       e11' = Ri^s11 Bi^t1   e21' = Yi^s21 Bi^t2   e31' = Yi^s31 Bi^t3
       e12' = Rj^s12 Bj^t1   e22' = Rj^s22 Bj^t2   e32' = Yj^s32 Bj^t3
       e13' = B^s13 (Ci/g)^t1  e23' = B^s23 Ci^t2  (branch 3 has no slot 3)
+
+    Returns stacked (16, ...) in PoWFStage2 field order.
     """
-    gb = _stage2_base_eqs(curve, pts, scal)
-    gd = _stage2_dual_eqs(curve, pts, scal)
-    return gb, gd
-
-
-def _stage2_base_eqs(curve, pts, scal, extra_bases=(), extra_s=(), extra_t=()):
-    """The eight fixed-base Stage2 equations (+ optional extra lanes)."""
     Xi, Xj, A = pts["Xi"], pts["Xj"], pts["A"]
-    return _eval_base_eqs(
-        curve,
-        [Xi, Xj, A, Xi, Xj, A, Xi, Xj] + list(extra_bases),
-        [scal["s11"], scal["s12"], scal["s13"],
-         scal["s21"], scal["s22"], scal["s23"],
-         scal["s31"], scal["s32"]] + list(extra_s),
-        [scal["t1"], scal["t1"], scal["t1"],
-         scal["t2"], scal["t2"], scal["t2"],
-         scal["t3"], scal["t3"]] + list(extra_t),
-    )
-
-
-def _stage2_dual_eqs(curve, pts, scal):
-    """The eight dual-base Stage2 equations (need pts['Bi'])."""
     Bi, Bj, B = pts["Bi"], pts["Bj"], pts["B"]
-    Ri, Rj, Ci, Yi, Yj = pts["Ri"], pts["Rj"], pts["Ci"], pts["Yi"], pts["Yj"]
+    Ri, Rj, Ci = pts["Ri"], pts["Rj"], pts["Ci"]
+    Yi, Yj = pts["Yi"], pts["Yj"]
     ci_g = _g_minus(curve, Ci)
-    return _eval_dual_eqs(
-        curve,
-        [Ri, Rj, B, Yi, Rj, B, Yi, Yj],
-        [scal["s11"], scal["s12"], scal["s13"],
-         scal["s21"], scal["s22"], scal["s23"],
-         scal["s31"], scal["s32"]],
-        [Bi, Bj, ci_g, Bi, Bj, Ci, Bi, Bj],
-        [scal["t1"], scal["t1"], scal["t1"],
-         scal["t2"], scal["t2"], scal["t2"],
-         scal["t3"], scal["t3"]],
-    )
-
-
-def _stage2_unpack(gb, gd):
-    """(base (8,...), dual (8,...)) -> the 16 eps in PoWFStage2 field order."""
-    return (gb[0], gb[1], gb[2], gd[0], gd[1], gd[2],
-            gb[3], gb[4], gb[5], gd[3], gd[4], gd[5],
-            gb[6], gb[7], gd[6], gd[7])
+    s = scal
+    return _eval_eqs(curve, [
+        (None, s["s11"], Xi, s["t1"]),
+        (None, s["s12"], Xj, s["t1"]),
+        (None, s["s13"], A, s["t1"]),
+        (Ri, s["s11"], Bi, s["t1"]),
+        (Rj, s["s12"], Bj, s["t1"]),
+        (B, s["s13"], ci_g, s["t1"]),
+        (None, s["s21"], Xi, s["t2"]),
+        (None, s["s22"], Xj, s["t2"]),
+        (None, s["s23"], A, s["t2"]),
+        (Yi, s["s21"], Bi, s["t2"]),
+        (Rj, s["s22"], Bj, s["t2"]),
+        (B, s["s23"], Ci, s["t2"]),
+        (None, s["s31"], Xi, s["t3"]),
+        (None, s["s32"], Xj, s["t3"]),
+        (Yi, s["s31"], Bi, s["t3"]),
+        (Yj, s["s32"], Bj, s["t3"]),
+    ])
 
 
 _STAGE2_FS_PTS = ("Xi", "Xj", "A", "Bi", "Bj", "B", "Ri", "Rj", "Ci", "Yi", "Yj")
 
 
 def gen_powfstage2(
-    curve: Curve, key, pts, xi, xj, alphai, bi, bj, ids, steps=None
+    curve: Curve, key, pts, xi, xj, alphai, bi, bj, ids, steps=None, b=None
 ):
     """Generate Stage2 (`SEAL/bidder.cpp:598-890`), branchless over (bi, bj).
 
@@ -583,8 +569,8 @@ def gen_powfstage2(
     random (fixing the reference's zero-rho quirk at `:749-754`).
 
     pts must NOT contain "Bi": the ciphertext Bi = Yi^xi (bi 0) | Ri^xi
-    (bi 1) is computed here as an extra lane of the batched base-equation
-    call.  Returns (proof, Bi).
+    (bi 1) is taken from `b` when given (fused scan driver: whole proof =
+    one ladder pass) or computed here first.  Returns (proof, Bi).
     """
     fn = curve.fn
     batch = xi.shape[:-1]
@@ -612,16 +598,12 @@ def gen_powfstage2(
         scal[f"t{m}"] = _sel(is_real[m], zero, ch_sim[m])
     # branch 3 has no slot 3; the eq evaluator never reads s33.
 
-    sel_base = ec.select(bi == 0, pts["Yi"], pts["Ri"])
-    gb9 = _stage2_base_eqs(
-        curve, pts, scal,
-        extra_bases=[sel_base], extra_s=[_zero(xi)], extra_t=[xi],
-    )
-    b = gb9[8]
+    if b is None:
+        sel_base = ec.select(bi == 0, pts["Yi"], pts["Ri"])
+        b = ec.scalar_mul(curve, sel_base, xi)
     pts = dict(pts, Bi=b)
-    gb = gb9[:8]
-    gd = _stage2_dual_eqs(curve, pts, scal)
-    eqs = _stage2_unpack(gb, gd)
+    eqs16 = _stage2_eqs(curve, pts, scal)
+    eqs = tuple(eqs16[i] for i in range(16))
     ch = fs_challenge(
         curve, list(eqs) + [pts[k] for k in _STAGE2_FS_PTS], ids,
         TAG_STAGE2, steps,
@@ -671,9 +653,5 @@ def ver_powfstage2(curve: Curve, proof: PoWFStage2, pts, ids, steps=None):
         "s31": proof.rho31, "s32": proof.rho32,
         "t1": ch1, "t2": proof.ch2, "t3": proof.ch3,
     }
-    gb, gd = _stage2_eqs(curve, pts, scal)
-    eps_base = [eps[0], eps[1], eps[2], eps[6], eps[7], eps[8],
-                eps[12], eps[13]]
-    eps_dual = [eps[3], eps[4], eps[5], eps[9], eps[10], eps[11],
-                eps[14], eps[15]]
-    return _eq_all(curve, gb, gd, eps_base, eps_dual)
+    got = _stage2_eqs(curve, pts, scal)
+    return _eq_all(curve, got, eps)

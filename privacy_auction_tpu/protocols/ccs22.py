@@ -297,34 +297,94 @@ def _auction_step(curve: Curve, pp: PubParams, k1, k2, X_step, x_step,
 
 def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
                beta, bits, eval_id: int):
-    """All c CCS22 steps as ONE XLA program: a `lax.scan` of the per-step
-    pipeline (`CCS22/main.cpp:87-130` with the per-step host dispatches
-    fused away).  Setup is dispatched separately by run_auction (the
-    experimental axon TPU backend has miscompiled combined
-    setup-plus-scan-scale programs -- see seal._step_scan).
+    """All c CCS22 steps as ONE XLA program (`CCS22/main.cpp:87-130` with
+    the per-step host dispatches fused away).  Setup is dispatched
+    separately by run_auction (the experimental axon TPU backend has
+    miscompiled combined setup-plus-scan-scale programs -- see
+    seal._step_scan).
 
-    The announced bit drives only the race bookkeeping, which is carried
-    on device; the host reads the full (c,) announced-bit vector once at
-    the end.  Returns announced bits (c,) bool.
+    Latency structure: every scalar-mult ladder is hoisted out of the
+    scan.  The OT messages factor over the receiver's choice bit alpha:
+
+      G  = g^beta * g1^alpha            = gb  + alpha*g1
+      H  = h^beta * T2^alpha            = hb  + alpha*T2
+      mask0 = G^s * H^t                 = m0a + alpha*E
+      mask1 = (G/g1)^s * (H/T2)^t       = m0a + (alpha-1)*E
+      with  m0a = gb^s * hb^t,  E = g1^s * T2^t,
+      beta*z = z^beta = g^(s*beta) * h^(t*beta)
+
+    so the per-step work is only point adds + branchless selects on the
+    race-dependent bits; the heavy parts (gb, hb, T2, E, m0a, z, z^beta,
+    both AV-net encodings, M1) are 7 large batched passes over all
+    (n, c) lanes before the scan.  This is the same protocol compute,
+    reordered -- every published message (B, T2, G, H, z, C0, C1) is
+    still materialized and returned.
+
+    Returns (announced (c,) bool, OTR1 (c,n,...), OTS (c,n,...)).
     """
-    sm = lambda a: jnp.moveaxis(a, 1, 0)  # (n, c, ...) -> step-major
+    from .seal import avnet_keys
+
+    fn = curve.fn
     n, c = bits.shape
-    xs = (
-        step_keys.reshape(c, 2),
-        sm(X), sm(sec.x), sm(sec.r), sm(sec.s), sm(sec.t), sm(beta),
-        bits.T,
-    )
+    k_ot, k_m1 = step_keys[0], step_keys[1]
+
+    # ---- hoisted ladder passes (all (n, c) lanes each) ----
+    Y = avnet_keys(curve, X)                     # prefix scan along n
+    k_rand = F.random(fn, k_ot, (n, c))          # evaluator OT nonces
+    m1k = F.random(fn, k_m1, (n, c))             # sender dummy messages
+    mb = ec.mul_base(
+        curve, jnp.stack([sec.r, k_rand, m1k, beta])
+    )                                            # 1 pass, 4*(n*c) lanes
+    enc1, T2, M1, gb = mb[0], mb[1], mb[2], mb[3]
+    hb = ec.mul_comb(curve, jnp.asarray(pp.h_table), beta)
+    z = ec.add(
+        curve, ec.mul_base(curve, sec.s),
+        ec.mul_comb(curve, jnp.asarray(pp.h_table), sec.t),
+    )                                            # z = g^s h^t (2 passes)
+    sm_bases = jnp.stack([jnp.broadcast_to(Y, X.shape), z])
+    sm_scals = jnp.stack([sec.x, beta])
+    sm_out = ec.scalar_mul(curve, sm_bases, sm_scals)   # 1 pass
+    enc0, bz = sm_out[0], sm_out[1]              # Y^x, z^beta
+    g1b = jnp.broadcast_to(pp.g1, X.shape)
+    E = ec.dual_mul(curve, g1b, sec.s, T2, sec.t)       # g1^s T2^t
+    m0a = ec.dual_mul(curve, gb, sec.s, hb, sec.t)      # gb^s hb^t
+
+    sm = lambda a: jnp.moveaxis(a, 1, 0)         # (n, c, ...) -> step-major
+    xs = jax.tree.map(sm, (enc0, enc1, T2, M1, gb, hb, z, bz, E, m0a))
+    xs = xs + (bits.T,)
+
+    inf = ec.infinity((n,))
 
     def body(in_race, x):
-        sk, X_s, x_s, r_s, s_s, t_s, beta_s, bits_s = x
-        announced, new_race, _d = _auction_step(
-            curve, pp, sk[0], sk[1], X_s, x_s, r_s, s_s, t_s, beta_s,
-            bits_s, in_race, eval_id,
+        (enc0_s, enc1_s, T2_s, M1_s, gb_s, hb_s, z_s, bz_s, E_s, m0a_s,
+         bits_s) = x
+        d = bits_s & in_race
+        B = ec.select(d == 0, enc0_s, enc1_s)    # `CCS22/bidder.cpp:142-146`
+        alpha = jnp.broadcast_to(d[eval_id] != 0, (n,))
+        # receiver message (`CCS22/evaluator.cpp:78-115`)
+        G = ec.select(alpha, ec.add(curve, gb_s, g1b[:, 0]), gb_s)
+        H = ec.select(alpha, ec.add(curve, hb_s, T2_s), hb_s)
+        # sender message (`CCS22/bidder.cpp:155-198`)
+        mask0 = ec.select(alpha, ec.add(curve, m0a_s, E_s), m0a_s)
+        mask1 = ec.select(
+            alpha, m0a_s, ec.add(curve, m0a_s, ec.neg(curve, E_s))
         )
-        return new_race, announced
+        C0 = ec.add(curve, mask0, B)
+        C1 = ec.add(curve, mask1, M1_s)
+        # receiver recovery + announce (`CCS22/evaluator.cpp:117-156`)
+        M0 = ec.add(curve, C0, ec.neg(curve, bz_s))
+        is_eval = jnp.arange(n) == eval_id
+        M0 = ec.select(is_eval, B, M0)
+        total = ec.ec_sum(curve, M0, axis=0)
+        announced = (d[eval_id] != 0) | ~ec.is_infinity(total)
+        new_race = update_race(in_race, d, announced)
+        return new_race, (announced, OTR1(T2=T2_s, G=G, H=H),
+                          OTS(z=z_s, C0=C0, C1=C1))
 
-    _, announced = jax.lax.scan(body, jnp.ones((n,), jnp.uint32), xs)
-    return announced
+    _, (announced, r1_msgs, ot_msgs) = jax.lax.scan(
+        body, jnp.ones((n,), jnp.uint32), xs
+    )
+    return announced, r1_msgs, ot_msgs
 
 
 @functools.lru_cache(maxsize=None)
@@ -334,12 +394,13 @@ def _jit_fused(curve: Curve, eval_id: int):
 
 def _run_fused(curve: Curve, key, pp: PubParams, bid_scalars, bits,
                eval_id: int):
-    """Fused driver body: setup dispatch + the step-scan dispatch."""
+    """Fused driver body: setup dispatch + the step-scan dispatch.
+    Returns (announced (c,), OTR1 msgs, OTS msgs)."""
     n, c = bits.shape
-    keys = jax.random.split(key, 2 * c + 2)
+    keys = jax.random.split(key, 4)
     beta = F.random(curve.fn, keys[0], (n, c))
     _pub, sec = _jit_setup(curve, keys[1], pp, bid_scalars, c, eval_id, beta)
-    return _jit_fused(curve, eval_id)(keys[2:], pp, _pub.X, sec, beta, bits)
+    return _jit_fused(curve, eval_id)(keys[2:4], pp, _pub.X, sec, beta, bits)
 
 
 def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
@@ -385,7 +446,9 @@ def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
         pp = pp_or_make(curve)
         if mesh is not None:
             key = M.replicate(mesh, key)
-        announced_all = _run_fused(curve, key, pp, bid_scalars, bits, eval_id)
+        announced_all, _r1_msgs, _ot_msgs = _run_fused(
+            curve, key, pp, bid_scalars, bits, eval_id
+        )
         announced_np = np.asarray(announced_all)
         max_bid = 0
         deciding = np.zeros(c, np.uint8)

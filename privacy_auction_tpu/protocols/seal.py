@@ -244,6 +244,59 @@ def verify_round_one(curve: Curve, pub: RoundOnePub, ids, step=0):
     return ok[0] & ok[1]
 
 
+def round_one_batch(curve: Curve, key, n: int, c: int, ids):
+    """Round-1 key generation for ALL c steps in one batched pass.
+
+    The per-step keys are independent of the auction state
+    (`SEAL/bidder.cpp:1203-1236` draws them fresh each step), so the
+    fused driver hoists all c keygens out of the step scan: one
+    fixed-base mult over 4*c*n lanes + one batched PoKDLog pass instead
+    of c sequential ones.  Returns pytrees with leading (c, n) axes.
+    """
+    fn = curve.fn
+    k_xr, k_v = jax.random.split(key)
+    xr = F.random(fn, k_xr, (2, c, n))
+    v = F.random(fn, k_v, (2, c, n))
+    pts4 = ec.mul_base(curve, jnp.concatenate([xr, v], axis=0))
+    pts, eps = pts4[:2], pts4[2:]
+    steps = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.uint32)[None, :, None], (2, c, n)
+    )
+    pok = nizk.gen_pokdlog_from(
+        curve, v, eps, pts, xr, jnp.broadcast_to(ids, (2, c, n)), steps
+    )
+    pok_x = jax.tree.map(lambda t: t[0], pok)
+    pok_r = jax.tree.map(lambda t: t[1], pok)
+    return (
+        RoundOnePub(X=pts[0], R=pts[1], pok_x=pok_x, pok_r=pok_r),
+        RoundOneSec(x=xr[0], r=xr[1]),
+    )
+
+
+def verify_round_one_batch(curve: Curve, pub: RoundOnePub, ids):
+    """All c steps' round-1 proofs verified in one pass -> (c, n) bool."""
+    c, n = pub.X.shape[:2]
+    steps = jnp.broadcast_to(
+        jnp.arange(c, dtype=jnp.uint32)[None, :, None], (2, c, n)
+    )
+    ok = nizk.ver_pokdlog(
+        curve,
+        jax.tree.map(lambda a, b: jnp.stack([a, b]), pub.pok_x, pub.pok_r),
+        jnp.stack([pub.X, pub.R]),
+        jnp.broadcast_to(ids, (2, c, n)),
+        steps,
+    )
+    return ok[0] & ok[1]
+
+
+def avnet_keys_steps(curve: Curve, X):
+    """`avnet_keys` for all steps at once: X (c, n, 3, L) -> (c, n, 3, L)."""
+    P = ec.ec_prefix_scan(curve, X, axis=1)
+    S = P[:, -1:]
+    neg_part = ec.neg(curve, ec.add(curve, X, jnp.broadcast_to(S, X.shape)))
+    return ec.add(curve, ec.add(curve, P, P), neg_part)
+
+
 # --------------------------------------------------------------------------
 # round 2
 # --------------------------------------------------------------------------
@@ -622,8 +675,18 @@ def full_step(curve: Curve, key, step, bits_step, in_race, junction, prev,
 
 def _step_scan(curve: Curve, ks, bits, ids, commit_pub, commit_sec,
                verify: bool):
-    """All c auction steps as ONE XLA program: a `lax.scan` of `full_step`
-    (`SEAL/main.cpp:65-120` with the per-step host dispatches fused away).
+    """All c auction steps as ONE XLA program (`SEAL/main.cpp:65-120`
+    with the per-step host dispatches fused away).
+
+    Latency structure: everything that does not depend on the carried
+    auction state is hoisted OUT of the scan into large batched passes --
+    all c round-1 keygens + their PoKDLog verifications, all AV-net keys,
+    and both ciphertext candidates b0 = Y^x / b1 = R^x per step.  The
+    scan body is then per-step: select the ciphertext by the effective
+    bit, generate + verify the Stage1|Stage2 proof (ONE ladder pass
+    each, `nizk._eval_eqs`), veto-sum, junction bookkeeping.  A serial
+    ladder pass costs near-constant wall time at small lane counts, so
+    minimizing passes-per-step is what sets the auction's latency.
 
     The commit phase is deliberately dispatched separately (run_auction):
     compiling commit generation + verification into the same program as
@@ -635,25 +698,80 @@ def _step_scan(curve: Curve, ks, bits, ids, commit_pub, commit_sec,
     Returns (deciding_bits (c,) bool, oks (c,) bool).
     """
     n, c = bits.shape
-    step_keys = jax.random.split(ks, c)
+    k_r1, k_scan = jax.random.split(ks)
+    step_keys = jax.random.split(k_scan, c)
+
+    # hoisted state-independent work, batched over all c steps
+    pub1, sec1 = round_one_batch(curve, k_r1, n, c, ids)
+    if verify:
+        ok_r1 = verify_round_one_batch(curve, pub1, ids).all(axis=1)  # (c,)
+    else:
+        ok_r1 = jnp.ones((c,), bool)
+    Y_all = avnet_keys_steps(curve, pub1.X)
+    b01 = ec.scalar_mul(
+        curve,
+        jnp.stack([Y_all, pub1.R]),
+        jnp.broadcast_to(sec1.x, (2, c, n, LIMBS)),
+    )  # (2, c, n, 3, L): per-step ciphertext candidates Y^x / R^x
+
+    sm = lambda a: jnp.moveaxis(a, 1, 0)  # commit (n, c, ...) -> step-major
 
     def body(carry, xs):
         in_race, junction, prev = carry
-        k, step, bits_step = xs
-        new_race, new_junction, new_prev, deciding, ok = full_step(
-            curve, k, step, bits_step, in_race, junction, prev,
-            commit_pub, commit_sec, ids, verify,
+        (k2, step, bits_step, X_s, R_s, x_s, Y_s, b0_s, b1_s,
+         phi_s, A_s, B_s, alpha_s) = xs
+        d = bits_step & in_race
+        b = ec.select(d == 0, b0_s, b1_s)  # `SEAL/bidder.cpp:1301-1309`
+
+        def _stage1(_):
+            proof, _b = nizk.gen_powfstage1(
+                curve, k2, X_s, Y_s, R_s, phi_s, A_s, B_s, x_s, alpha_s,
+                d, ids, step, b=b,
+            )
+            if not verify:
+                return jnp.asarray(True)
+            return nizk.ver_powfstage1(
+                curve, proof, b, X_s, Y_s, R_s, phi_s, A_s, B_s, ids, step,
+            ).all()
+
+        def _stage2(_):
+            pts = dict(
+                Xi=X_s, Ri=R_s, Yi=Y_s,
+                Bj=prev.b, Xj=prev.X, Rj=prev.R, Yj=prev.Y,
+                Ci=phi_s, A=A_s, B=B_s,
+            )
+            proof, _b = nizk.gen_powfstage2(
+                curve, k2, pts, x_s, prev.x, alpha_s, d, prev.d, ids, step,
+                b=b,
+            )
+            if not verify:
+                return jnp.asarray(True)
+            return nizk.ver_powfstage2(
+                curve, proof, dict(pts, Bi=b), ids, step,
+            ).all()
+
+        ok2 = jax.lax.cond(junction, _stage2, _stage1, None)
+        deciding = round_three(curve, b)
+        info = StepInfo(X=X_s, R=R_s, Y=Y_s, b=b, x=x_s, d=d)
+        new_prev = jax.tree.map(
+            lambda new, old: jnp.where(deciding, new, old), info, prev
         )
-        return (new_race, new_junction, new_prev), (deciding, ok)
+        new_race = jnp.where(deciding, in_race & d, in_race)
+        return (new_race, junction | deciding, new_prev), (deciding, ok2)
 
     init = (
         jnp.ones((n,), jnp.uint32),
         jnp.asarray(False),
         _dummy_step_info(n),
     )
-    xs = (step_keys, jnp.arange(c, dtype=jnp.uint32), bits.T)
+    xs = (
+        step_keys, jnp.arange(c, dtype=jnp.uint32), bits.T,
+        pub1.X, pub1.R, sec1.x, Y_all, b01[0], b01[1],
+        sm(commit_pub.phi), sm(commit_pub.A), sm(commit_pub.B),
+        sm(commit_sec.alpha),
+    )
     _, (deciding, oks) = jax.lax.scan(body, init, xs)
-    return deciding, oks
+    return deciding, oks & ok_r1
 
 
 _jit_step_scan = jax.jit(_step_scan, static_argnums=(0, 6))
