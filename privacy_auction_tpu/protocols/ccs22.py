@@ -115,12 +115,14 @@ def _scalar_bytes(v):
 
 
 def setup(curve: Curve, key, pp: PubParams, bids, c: int,
-          eval_id: int, eval_betas=None):
+          eval_id, eval_betas=None):
     """Setup for all n parties (`CCS22/bidder.cpp:48-100`,
     `CCS22/evaluator.cpp:22-63`).
 
     bids: (n,) integer bid scalars as limb array (n, L); eval_betas:
-    (n, c, L) the evaluator's OT betas (hashed into its H).
+    (n, c, L) the evaluator's OT betas (hashed into its H).  eval_id is
+    a TRACED scalar (one compilation serves every evaluator choice --
+    the reference picks it randomly per auction, `CCS22/main.cpp:34-37`).
     Returns (SetupPub, SetupSec).
     """
     fn = curve.fn
@@ -245,7 +247,7 @@ def ot_send(curve: Curve, key, pp: PubParams, r1: OTR1, B, s, t):
     return OTS(z=z, C0=C0, C1=C1)
 
 
-def ot_receive2(curve: Curve, ots: OTS, beta, own_B, own_d, eval_id: int):
+def ot_receive2(curve: Curve, ots: OTS, beta, own_B, own_d, eval_id):
     """Evaluator recovers the veto sum and announces the step bit
     (`CCS22/evaluator.cpp:117-156`).
 
@@ -296,7 +298,7 @@ def _auction_step(curve: Curve, pp: PubParams, k1, k2, X_step, x_step,
 
 
 def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
-               beta, bits, eval_id: int):
+               beta, bits, eval_id):
     """All c CCS22 steps as ONE XLA program (`CCS22/main.cpp:87-130` with
     the per-step host dispatches fused away).  Setup is dispatched
     separately by run_auction (the experimental axon TPU backend has
@@ -387,20 +389,21 @@ def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
     return announced, r1_msgs, ot_msgs
 
 
-@functools.lru_cache(maxsize=None)
-def _jit_fused(curve: Curve, eval_id: int):
-    return jax.jit(functools.partial(_step_scan, curve, eval_id=eval_id))
+_jit_step_scan = jax.jit(_step_scan, static_argnums=0)
 
 
 def _run_fused(curve: Curve, key, pp: PubParams, bid_scalars, bits,
                eval_id: int):
     """Fused driver body: setup dispatch + the step-scan dispatch.
+    eval_id rides as a traced scalar, so ONE compilation per (n, c)
+    shape serves every evaluator choice.
     Returns (announced (c,), OTR1 msgs, OTS msgs)."""
     n, c = bits.shape
     keys = jax.random.split(key, 4)
+    eid = jnp.asarray(eval_id, jnp.int32)
     beta = F.random(curve.fn, keys[0], (n, c))
-    _pub, sec = _jit_setup(curve, keys[1], pp, bid_scalars, c, eval_id, beta)
-    return _jit_fused(curve, eval_id)(keys[2:4], pp, _pub.X, sec, beta, bits)
+    _pub, sec = _jit_setup(curve, keys[1], pp, bid_scalars, c, eid, beta)
+    return _jit_step_scan(curve, keys[2:4], pp, _pub.X, sec, beta, bits, eid)
 
 
 def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
@@ -526,9 +529,9 @@ def pp_or_make(curve: Curve) -> PubParams:
     return make_pub_params(curve)
 
 
-_jit_setup = jax.jit(setup, static_argnums=(0, 4, 5))
+_jit_setup = jax.jit(setup, static_argnums=(0, 4))
 # per-phase entry points for the role-metered driver path
 _jit_bes = jax.jit(bes_encode, static_argnums=0)
 _jit_otr1 = jax.jit(ot_receive1, static_argnums=0)
 _jit_ots = jax.jit(ot_send, static_argnums=0)
-_jit_otr2 = jax.jit(ot_receive2, static_argnums=(0, 5))
+_jit_otr2 = jax.jit(ot_receive2, static_argnums=0)
