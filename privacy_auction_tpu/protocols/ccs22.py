@@ -324,38 +324,90 @@ def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
 
     Returns (announced (c,) bool, OTR1 (c,n,...), OTS (c,n,...)).
     """
+    n, c = bits.shape
+    pre = _precompute(curve, step_keys, pp, X, sec, beta)
+    g1n = jnp.broadcast_to(pp.g1, (n, 3, LIMBS))
+    return _scan_steps(curve, pre, g1n, bits, eval_id)
+
+
+# The hoisted passes run as SEPARATE small jitted dispatches: compiling
+# them into one program miscompiles on the experimental axon TPU backend
+# at some shapes (observed at (n, c) = (4, 32): the enc0 = Y^x stream of
+# the combined program is wrong while the identical per-pass programs --
+# and the combined program on XLA:CPU -- are correct).  Each dispatch is
+# one ladder/comb pass + trivial glue; ~7 extra dispatches per auction.
+@functools.lru_cache(maxsize=None)
+def _jit_avnet():
     from .seal import avnet_keys
 
-    fn = curve.fn
-    n, c = bits.shape
-    k_ot, k_m1 = step_keys[0], step_keys[1]
+    return jax.jit(avnet_keys, static_argnums=0)
 
-    # ---- hoisted ladder passes (all (n, c) lanes each) ----
-    Y = avnet_keys(curve, X)                     # prefix scan along n
-    k_rand = F.random(fn, k_ot, (n, c))          # evaluator OT nonces
-    m1k = F.random(fn, k_m1, (n, c))             # sender dummy messages
-    mb = ec.mul_base(
-        curve, jnp.stack([sec.r, k_rand, m1k, beta])
-    )                                            # 1 pass, 4*(n*c) lanes
+
+def _pre_mulbase(curve: Curve, k_ot, k_m1, r, beta):
+    n, c = beta.shape[:2]
+    k_rand = F.random(curve.fn, k_ot, (n, c))    # evaluator OT nonces
+    m1k = F.random(curve.fn, k_m1, (n, c))       # sender dummy messages
+    return ec.mul_base(curve, jnp.stack([r, k_rand, m1k, beta]))
+
+
+def _pre_z(curve: Curve, h_table, s, t):
+    return ec.add(
+        curve, ec.mul_base(curve, s), ec.mul_comb(curve, h_table, t)
+    )                                            # z = g^s h^t
+
+
+def _pre_scalar_mul2(curve: Curve, Y, z, x, beta):
+    out = ec.scalar_mul(
+        curve,
+        jnp.stack([jnp.broadcast_to(Y, z.shape), z]),
+        jnp.stack([x, beta]),
+    )
+    return out[0], out[1]                        # Y^x, z^beta
+
+
+def _pre_dual(curve: Curve, P, s, Q, t):
+    return ec.dual_mul(curve, P, s, Q, t)
+
+
+_jit_pre_mulbase = jax.jit(_pre_mulbase, static_argnums=0)
+_jit_pre_comb = jax.jit(ec.mul_comb, static_argnums=0)
+_jit_pre_z = jax.jit(_pre_z, static_argnums=0)
+_jit_pre_sm2 = jax.jit(_pre_scalar_mul2, static_argnums=0)
+_jit_pre_dual = jax.jit(_pre_dual, static_argnums=0)
+
+
+def _precompute(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
+                beta):
+    """The hoisted ladder passes for all steps (see _step_scan), each its
+    own dispatch (see note above): returns the step-major (c, n, ...)
+    precomputed point streams."""
+    k_ot, k_m1 = step_keys[0], step_keys[1]
+    ht = jnp.asarray(pp.h_table)
+
+    Y = _jit_avnet()(curve, X)                   # prefix scan along n
+    mb = _jit_pre_mulbase(curve, k_ot, k_m1, sec.r, beta)
     enc1, T2, M1, gb = mb[0], mb[1], mb[2], mb[3]
-    hb = ec.mul_comb(curve, jnp.asarray(pp.h_table), beta)
-    z = ec.add(
-        curve, ec.mul_base(curve, sec.s),
-        ec.mul_comb(curve, jnp.asarray(pp.h_table), sec.t),
-    )                                            # z = g^s h^t (2 passes)
-    sm_bases = jnp.stack([jnp.broadcast_to(Y, X.shape), z])
-    sm_scals = jnp.stack([sec.x, beta])
-    sm_out = ec.scalar_mul(curve, sm_bases, sm_scals)   # 1 pass
-    enc0, bz = sm_out[0], sm_out[1]              # Y^x, z^beta
-    g1b = jnp.broadcast_to(pp.g1, X.shape)
-    E = ec.dual_mul(curve, g1b, sec.s, T2, sec.t)       # g1^s T2^t
-    m0a = ec.dual_mul(curve, gb, sec.s, hb, sec.t)      # gb^s hb^t
+    hb = _jit_pre_comb(curve, ht, beta)
+    z = _jit_pre_z(curve, ht, sec.s, sec.t)
+    enc0, bz = _jit_pre_sm2(curve, Y, z, sec.x, beta)   # Y^x, z^beta
+    g1b = jnp.broadcast_to(jnp.asarray(pp.g1), X.shape)
+    E = _jit_pre_dual(curve, g1b, sec.s, T2, sec.t)     # g1^s T2^t
+    m0a = _jit_pre_dual(curve, gb, sec.s, hb, sec.t)    # gb^s hb^t
 
     sm = lambda a: jnp.moveaxis(a, 1, 0)         # (n, c, ...) -> step-major
-    xs = jax.tree.map(sm, (enc0, enc1, T2, M1, gb, hb, z, bz, E, m0a))
-    xs = xs + (bits.T,)
+    return jax.tree.map(sm, (enc0, enc1, T2, M1, gb, hb, z, bz, E, m0a))
 
-    inf = ec.infinity((n,))
+
+def _scan_steps(curve: Curve, pre, g1n, bits, eval_id):
+    """The per-step lax.scan over the precomputed streams (see
+    _step_scan).  Dispatched separately from _precompute: compiling both
+    into one program miscompiles on the experimental axon TPU backend at
+    some shapes (observed at (n, c) = (4, 32): every announced bit comes
+    back 1 while the identical split programs -- and the combined program
+    on XLA:CPU -- are correct; same failure class as seal._step_scan's
+    commit split)."""
+    n, c = bits.shape
+    xs = pre + (bits.T,)
 
     def body(in_race, x):
         (enc0_s, enc1_s, T2_s, M1_s, gb_s, hb_s, z_s, bz_s, E_s, m0a_s,
@@ -364,7 +416,7 @@ def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
         B = ec.select(d == 0, enc0_s, enc1_s)    # `CCS22/bidder.cpp:142-146`
         alpha = jnp.broadcast_to(d[eval_id] != 0, (n,))
         # receiver message (`CCS22/evaluator.cpp:78-115`)
-        G = ec.select(alpha, ec.add(curve, gb_s, g1b[:, 0]), gb_s)
+        G = ec.select(alpha, ec.add(curve, gb_s, g1n), gb_s)
         H = ec.select(alpha, ec.add(curve, hb_s, T2_s), hb_s)
         # sender message (`CCS22/bidder.cpp:155-198`)
         mask0 = ec.select(alpha, ec.add(curve, m0a_s, E_s), m0a_s)
@@ -389,21 +441,23 @@ def _step_scan(curve: Curve, step_keys, pp: PubParams, X, sec: SetupSec,
     return announced, r1_msgs, ot_msgs
 
 
-_jit_step_scan = jax.jit(_step_scan, static_argnums=0)
+_jit_scan_steps = jax.jit(_scan_steps, static_argnums=0)
 
 
 def _run_fused(curve: Curve, key, pp: PubParams, bid_scalars, bits,
                eval_id: int):
-    """Fused driver body: setup dispatch + the step-scan dispatch.
-    eval_id rides as a traced scalar, so ONE compilation per (n, c)
-    shape serves every evaluator choice.
+    """Fused driver body: setup + precompute + step-scan dispatches
+    (three per auction -- O(1) in c).  eval_id rides as a traced scalar,
+    so ONE compilation per (n, c) shape serves every evaluator choice.
     Returns (announced (c,), OTR1 msgs, OTS msgs)."""
     n, c = bits.shape
     keys = jax.random.split(key, 4)
     eid = jnp.asarray(eval_id, jnp.int32)
     beta = F.random(curve.fn, keys[0], (n, c))
     _pub, sec = _jit_setup(curve, keys[1], pp, bid_scalars, c, eid, beta)
-    return _jit_step_scan(curve, keys[2:4], pp, _pub.X, sec, beta, bits, eid)
+    pre = _precompute(curve, keys[2:4], pp, _pub.X, sec, beta)
+    g1n = jnp.broadcast_to(jnp.asarray(pp.g1), (n, 3, LIMBS))
+    return _jit_scan_steps(curve, pre, g1n, bits, eid)
 
 
 def run_auction(curve: Curve, key, bids, c: int, eval_id: int = 0,
