@@ -697,23 +697,51 @@ def _step_scan(curve: Curve, ks, bits, ids, commit_pub, commit_sec,
 
     Returns (deciding_bits (c,) bool, oks (c,) bool).
     """
-    n, c = bits.shape
-    k_r1, k_scan = jax.random.split(ks)
-    step_keys = jax.random.split(k_scan, c)
+    pre = _precompute(curve, ks, bits.shape, ids, verify)
+    return _scan_steps(curve, pre, bits, ids, commit_pub, commit_sec, verify)
 
-    # hoisted state-independent work, batched over all c steps
-    pub1, sec1 = round_one_batch(curve, k_r1, n, c, ids)
-    if verify:
-        ok_r1 = verify_round_one_batch(curve, pub1, ids).all(axis=1)  # (c,)
-    else:
-        ok_r1 = jnp.ones((c,), bool)
-    Y_all = avnet_keys_steps(curve, pub1.X)
-    b01 = ec.scalar_mul(
+
+def _b01(curve: Curve, Y_all, R_all, x_all):
+    c, n = x_all.shape[:2]
+    return ec.scalar_mul(
         curve,
-        jnp.stack([Y_all, pub1.R]),
-        jnp.broadcast_to(sec1.x, (2, c, n, LIMBS)),
+        jnp.stack([Y_all, R_all]),
+        jnp.broadcast_to(x_all, (2, c, n, LIMBS)),
     )  # (2, c, n, 3, L): per-step ciphertext candidates Y^x / R^x
 
+
+# Hoisted passes as SEPARATE dispatches (same axon-miscompile workaround
+# as ccs22._precompute: with the hoisted passes compiled into the scan
+# program, every NIZK check in the (4, 3) program evaluates false while
+# the identical split programs -- and XLA:CPU -- are correct).
+_jit_round_one_batch = jax.jit(round_one_batch, static_argnums=(0, 2, 3))
+_jit_verify_round_one_batch = jax.jit(verify_round_one_batch,
+                                      static_argnums=0)
+_jit_avnet_steps = jax.jit(avnet_keys_steps, static_argnums=0)
+_jit_b01 = jax.jit(_b01, static_argnums=0)
+
+
+def _precompute(curve: Curve, ks, shape, ids, verify: bool):
+    """State-independent work for all c steps, one dispatch per pass."""
+    n, c = shape
+    k_r1, k_scan = jax.random.split(ks)
+    step_keys = jax.random.split(k_scan, c)
+    pub1, sec1 = _jit_round_one_batch(curve, k_r1, n, c, ids)
+    if verify:
+        ok_r1 = _jit_verify_round_one_batch(curve, pub1, ids).all(axis=1)
+    else:
+        ok_r1 = jnp.ones((c,), bool)
+    Y_all = _jit_avnet_steps(curve, pub1.X)
+    b01 = _jit_b01(curve, Y_all, pub1.R, sec1.x)
+    return step_keys, pub1.X, pub1.R, sec1.x, Y_all, b01[0], b01[1], ok_r1
+
+
+def _scan_steps(curve: Curve, pre, bits, ids, commit_pub, commit_sec,
+                verify: bool):
+    """The per-step lax.scan over the precomputed streams (see
+    _step_scan)."""
+    n, c = bits.shape
+    step_keys, X_all, R_all, x_all, Y_all, b0, b1, ok_r1 = pre
     sm = lambda a: jnp.moveaxis(a, 1, 0)  # commit (n, c, ...) -> step-major
 
     def body(carry, xs):
@@ -766,7 +794,7 @@ def _step_scan(curve: Curve, ks, bits, ids, commit_pub, commit_sec,
     )
     xs = (
         step_keys, jnp.arange(c, dtype=jnp.uint32), bits.T,
-        pub1.X, pub1.R, sec1.x, Y_all, b01[0], b01[1],
+        X_all, R_all, x_all, Y_all, b0, b1,
         sm(commit_pub.phi), sm(commit_pub.A), sm(commit_pub.B),
         sm(commit_sec.alpha),
     )
@@ -774,7 +802,14 @@ def _step_scan(curve: Curve, ks, bits, ids, commit_pub, commit_sec,
     return deciding, oks & ok_r1
 
 
-_jit_step_scan = jax.jit(_step_scan, static_argnums=(0, 6))
+_jit_scan_steps = jax.jit(_scan_steps, static_argnums=(0, 6))
+
+
+def _jit_step_scan(curve, ks, bits, ids, commit_pub, commit_sec, verify):
+    """Driver entry: per-pass precompute dispatches + the scan dispatch."""
+    pre = _precompute(curve, ks, bits.shape, ids, verify)
+    return _jit_scan_steps(curve, pre, bits, ids, commit_pub, commit_sec,
+                           verify)
 
 
 # --------------------------------------------------------------------------
